@@ -1,0 +1,268 @@
+"""Point-in-time / as-of join — the engine centerpiece (SURVEY.md J4/J5).
+
+Semantics: for each left row, match the latest right row with the same equi
+keys and ``right.ts <= left.ts`` (direction="backward"; "forward" is the
+mirror), optionally within ``tolerance_sec``. This replaces the reference's
+DTW frame alignment (`05_dtw_alignment_experiment/dtw_alignment.py:789-1090`)
+with an O(n+m) sorted merge; the DTW band constraint survives as the tolerance
+(max_time_difference analog, `dtw_alignment.py:44`). Zero temporal leakage by
+construction: a backward match never reads right rows with ts > left.ts.
+
+Three physical strategies, same semantics (equivalence is tested):
+
+``window``      (default) union both sides with a marker, one hash exchange on
+                the keys, then ``last(value, ignorenulls=True)`` over the
+                history frame ordered by (ts, marker). 100% JVM window exec —
+                no Python, no join explosion, AQE-coalesced. Right-side rows
+                sort *before* left rows at equal ts, so backward matches are
+                inclusive (ties match).
+
+``salted``      same plan, but the window partition key is extended with a
+                salt: left rows get pmod(xxhash64(salt_on), S); right rows are
+                replicated to all S salts. Use when the equi key is coarse and
+                skewed (one hot ``source``) — a single window partition would
+                otherwise serialize the hot key on one task.
+
+``range_merge`` the north rule's explicit shape: union → repartitionByRange on
+                the keys → sortWithinPartitions(keys, ts, marker) →
+                mapInPandas doing a *vectorized* grouped LOCF scan per
+                partition (pandas groupby().ffill(), no per-row Python).
+                Range partitioning balances partitions by sampled row counts,
+                which also absorbs key skew without salting.
+
+Right side must be unique per (keys, ts): use :func:`dedupe_right` first if
+needed (the reference pre-dedupes teacher frames the same way).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+_MARK = "__is_ref"
+_TS = "__asof_ts"
+_SALT = "__salt"
+
+
+def dedupe_right(right: DataFrame, on: list[str], ts: str) -> DataFrame:
+    """Keep one row per (keys, ts) deterministically (max over payload cols)."""
+    payload = [c for c in right.columns if c not in set(on) | {ts}]
+    return right.groupBy(*on, ts).agg(*[F.max(c).alias(c) for c in payload])
+
+
+def _union_frames(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+):
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias(_TS),
+        F.lit(0).alias(_MARK),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r = right.select(
+        *[
+            F.col(c).alias(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.col(right_ts).alias(_TS),
+        F.lit(1).alias(_MARK),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    return l.unionByName(r)
+
+
+def _finish(matched: DataFrame, left_cols, left_ts, right_payload, tolerance_sec, direction):
+    if tolerance_sec is not None:
+        # exact int64 microsecond arithmetic — no double-rounding at the
+        # tolerance boundary
+        if direction == "backward":
+            lag = F.unix_micros(_TS) - F.unix_micros("__m___r_ts")
+        else:
+            lag = F.unix_micros("__m___r_ts") - F.unix_micros(_TS)
+        ok = F.col("__m___r_ts").isNotNull() & (
+            lag <= F.lit(int(round(tolerance_sec * 1_000_000)))
+        )
+    else:
+        ok = F.col("__m___r_ts").isNotNull()
+    out = matched.where(F.col(_MARK) == 0).select(
+        *left_cols,
+        F.when(ok, F.col("__m___r_ts")).otherwise(F.lit(None)).alias("matched_ts"),
+        *[
+            F.when(ok, F.col(f"__m___r_{c}")).otherwise(F.lit(None)).alias(c)
+            for c in right_payload
+        ],
+    )
+    return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    tolerance_sec: float | None = None,
+    direction: str = "backward",
+    strategy: str = "window",
+    salt_buckets: int = 8,
+    salt_on: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """As-of join; returns all left columns + ``matched_ts`` + right payload
+    columns (NULL when no match within tolerance — the left-outer /
+    missing-partner case, `dtw_alignment.py:1443-1472`)."""
+    assert direction in ("backward", "forward")
+    right_ts = right_ts or left_ts
+    right_payload = [c for c in right.columns if c not in set(on) | {right_ts}]
+    u = _union_frames(left, right, on, left_ts, right_ts, right_payload)
+
+    if strategy == "range_merge":
+        return _range_merge(
+            u, on, left.columns, left_ts, right_payload, tolerance_sec, direction, num_partitions
+        )
+
+    part_keys = list(on)
+    if strategy == "salted":
+        salt_on = salt_on or [left_ts]
+        salt = F.pmod(F.xxhash64(*salt_on), F.lit(salt_buckets)).cast("int")
+        # left rows pick one salt; right rows are replicated to every salt so
+        # each salt cell sees the complete right side for its key
+        l_salted = u.where(F.col(_MARK) == 0).withColumn(_SALT, salt)
+        r_salted = u.where(F.col(_MARK) == 1).withColumn(
+            _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        u = l_salted.unionByName(r_salted)
+        part_keys = part_keys + [_SALT]
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*part_keys)
+            .orderBy(F.col(_TS).asc(), F.col(_MARK).desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(*part_keys)
+            .orderBy(F.col(_TS).desc(), F.col(_MARK).desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    matched = u.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m___r_{c}")
+            for c in right_payload
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__m___r_ts"),
+    )
+    return _finish(matched, left.columns, left_ts, right_payload, tolerance_sec, direction)
+
+
+def _range_merge(
+    u: DataFrame,
+    on: list[str],
+    left_cols: list[str],
+    left_ts: str,
+    right_payload: list[str],
+    tolerance_sec: float | None,
+    direction: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """North-rule shape: repartitionByRange(keys) + sortWithinPartitions +
+    vectorized grouped ffill inside mapInPandas (no per-row Python)."""
+    nparts = num_partitions or u.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    asc = direction == "backward"
+    sort_cols = [F.col(c) for c in on] + [
+        F.col(_TS).asc() if asc else F.col(_TS).desc(),
+        F.col(_MARK).desc(),
+    ]
+    arranged = u.repartitionByRange(int(nparts), *on).sortWithinPartitions(*sort_cols)
+
+    m_ts_field = StructField("__m___r_ts", u.schema["__r_ts"].dataType)
+    m_fields = [
+        StructField(f"__m___r_{c}", u.schema[f"__r_{c}"].dataType) for c in right_payload
+    ]
+    out_schema = StructType(list(arranged.schema.fields) + m_fields + [m_ts_field])
+
+    rcols = [f"__r_{c}" for c in right_payload] + ["__r_ts"]
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one partition may hold several keys but arrives fully sorted; a
+        # grouped ffill is the sorted-merge, fully vectorized
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        g = pdf.groupby(list(on), sort=False, dropna=False)
+        for c in rcols:
+            filled = g[c].ffill()
+            if pdf[c].dtype == object:
+                # leading unmatched rows: NaN → None so Arrow maps to SQL NULL
+                filled = filled.where(filled.notna(), None)
+            pdf[f"__m_{c}"] = filled
+        yield pdf
+
+    matched = arranged.mapInPandas(merge, schema=out_schema)
+    return _finish(matched, left_cols, left_ts, right_payload, tolerance_sec, direction)
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    tolerance_sec: float | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """Cogrouped Arrow kernel: per-key ``pandas.merge_asof``. The hook for
+    future per-pair kernels that need the whole pair in memory (exact-DTW
+    analog, `dtw_alignment.py:930-1090`). Prefer :func:`asof_join` for scale —
+    this one requires each key group to fit in one Arrow batch."""
+    right_ts = right_ts or left_ts
+    right_payload = [c for c in right.columns if c not in set(on) | {right_ts}]
+
+    m_fields = [StructField("matched_ts", right.schema[right_ts].dataType)] + [
+        StructField(c, right.schema[c].dataType) for c in right_payload
+    ]
+    out_schema = StructType(list(left.schema.fields) + m_fields)
+    tol = pd.Timedelta(seconds=tolerance_sec) if tolerance_sec is not None else None
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(left_ts, kind="mergesort")
+        if len(r) == 0:
+            l["matched_ts"] = pd.NaT
+            for c in right_payload:
+                l[c] = None
+            return l
+        r = r.sort_values(right_ts, kind="mergesort")
+        r = r.rename(columns={right_ts: "matched_ts"})
+        out = pd.merge_asof(
+            l,
+            r.drop(columns=list(on)),
+            left_on=left_ts,
+            right_on="matched_ts",
+            direction=direction,
+            tolerance=tol,
+        )
+        return out
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(merge, schema=out_schema)
+    )

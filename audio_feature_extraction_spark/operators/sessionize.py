@@ -1,0 +1,63 @@
+"""Gap-based sessionization (SURVEY.md §2.9) — the VAD segment-merge analog.
+
+Reference semantics (`04_feature_extraction_experiment/process_audio.py:118-131`):
+consecutive speech segments are merged while the gap ≤ min_silence_duration,
+*then* sessions shorter than min_speech_duration are dropped — merge first,
+filter second; order matters and is preserved here.
+
+Batch implementation is the classic three-step window plan (one shuffle on the
+entity key, both windows share it):
+  1. gap[t]   = ts[t] - lag(ts)[t]
+  2. new[t]   = gap > threshold
+  3. session  = running_sum(new)    -- cumulative count of session breaks
+
+Streaming variant: ``streaming.sessions`` uses ``session_window`` directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_session_id(
+    df: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    order: list[str] | None = None,
+    gap_sec: float = 30.0,
+    out: str = "session_id",
+) -> DataFrame:
+    """Add a 0-based per-entity session id column."""
+    order = order or [ts]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    hist = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts)), 1).over(w)
+    is_new = F.when(
+        gap_us > F.lit(int(round(gap_sec * 1_000_000))), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(out, F.sum(is_new).over(hist).cast("long"))
+
+
+def session_bounds(
+    df_with_sid: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    sid: str = "session_id",
+    min_duration_sec: float | None = None,
+    min_rows: int | None = None,
+) -> DataFrame:
+    """Collapse rows → one row per session with bounds and counts, then apply
+    the reference's merge-then-filter short-session drop."""
+    agg = df_with_sid.groupBy(*keys, sid).agg(
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dur = F.col("session_end").cast("double") - F.col("session_start").cast("double")
+    agg = agg.withColumn("duration_sec", dur)
+    if min_duration_sec is not None:
+        agg = agg.where(F.col("duration_sec") >= F.lit(float(min_duration_sec)))
+    if min_rows is not None:
+        agg = agg.where(F.col("n_rows") >= F.lit(int(min_rows)))
+    return agg

@@ -1,0 +1,114 @@
+"""As-of join operator unit tests (SURVEY.md J4/J5): direction, tolerance,
+ties, missing partners, strategy equivalence, cogroup kernel parity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from audio_feature_extraction_spark.operators.asof import (
+    asof_join,
+    asof_join_pandas,
+    dedupe_right,
+)
+
+LEFT = pd.DataFrame(
+    {
+        "k": ["a"] * 5 + ["b"] * 3 + ["c"] * 1,
+        "ts": pd.to_datetime(
+            [
+                "2024-01-01 00:00:00",
+                "2024-01-01 00:00:05",
+                "2024-01-01 00:00:05",  # duplicate left ts (tie case)
+                "2024-01-01 00:01:00",
+                "2024-01-01 00:10:00",
+                "2024-01-01 00:00:01",
+                "2024-01-01 00:00:02",
+                "2024-01-01 00:05:00",
+                "2024-01-01 00:00:30",  # key 'c' has no right rows (anti case)
+            ]
+        ),
+        "lid": list(range(9)),
+    }
+)
+
+RIGHT = pd.DataFrame(
+    {
+        "k": ["a"] * 3 + ["b"] * 2,
+        "ts": pd.to_datetime(
+            [
+                "2024-01-01 00:00:03",
+                "2024-01-01 00:00:05",  # equal-ts right row: backward must match it
+                "2024-01-01 00:02:00",
+                "2024-01-01 00:00:00",
+                "2024-01-01 00:04:00",
+            ]
+        ),
+        "rv": [1.0, 2.0, 3.0, 10.0, 20.0],
+    }
+)
+
+
+def expected(direction="backward", tol=None):
+    t = pd.Timedelta(seconds=tol) if tol is not None else None
+    l = LEFT.sort_values("ts", kind="mergesort")
+    r = RIGHT.sort_values("ts", kind="mergesort").rename(columns={"ts": "matched_ts"})
+    out = pd.merge_asof(
+        l, r, left_on="ts", right_on="matched_ts", by="k", direction=direction, tolerance=t
+    )
+    return out.sort_values("lid").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    return (
+        spark.createDataFrame(LEFT, schema="k string, ts timestamp, lid int"),
+        spark.createDataFrame(RIGHT, schema="k string, ts timestamp, rv double"),
+    )
+
+
+def check(out_pdf, direction="backward", tol=None):
+    out = out_pdf.sort_values("lid").reset_index(drop=True)
+    exp = expected(direction, tol)
+    assert len(out) == len(exp)
+    ov, ev = out.rv.to_numpy(), exp.rv.to_numpy()
+    assert ((ov == ev) | (np.isnan(ov) & np.isnan(ev))).all(), (ov, ev)
+    om = pd.to_datetime(out.matched_ts).to_numpy()
+    em = pd.to_datetime(exp.matched_ts).to_numpy()
+    assert ((om == em) | (pd.isna(om) & pd.isna(em))).all()
+
+
+@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge"])
+@pytest.mark.parametrize("tol", [None, 60.0])
+def test_backward(dfs, strategy, tol):
+    l, r = dfs
+    out = asof_join(l, r, on=["k"], tolerance_sec=tol, strategy=strategy).toPandas()
+    check(out, "backward", tol)
+
+
+@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge"])
+def test_forward(dfs, strategy):
+    l, r = dfs
+    out = asof_join(l, r, on=["k"], direction="forward", strategy=strategy).toPandas()
+    check(out, "forward", None)
+
+
+@pytest.mark.parametrize("tol", [None, 60.0])
+def test_cogroup_kernel_parity(dfs, tol):
+    l, r = dfs
+    out = asof_join_pandas(l, r, on=["k"], tolerance_sec=tol).toPandas()
+    check(out, "backward", tol)
+
+
+def test_dedupe_right(spark):
+    r = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+                "rv": [1.0, 5.0],
+            }
+        ),
+        schema="k string, ts timestamp, rv double",
+    )
+    out = dedupe_right(r, on=["k"], ts="ts").toPandas()
+    assert len(out) == 1 and out.rv.iloc[0] == 5.0
