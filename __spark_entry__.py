@@ -1,38 +1,798 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time feature pipeline on
+/root/testdata/sf0.001. ``queries()`` exposes one entry per implemented
+operator from SURVEY.md §2, each runnable on any sf dir; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for the correctness gate.
+
+Conventions shared by both sides so the driver's order-insensitive
+value-hash matches:
+- every computed double that involves accumulation/interpolation is
+  round(x, 6) on BOTH sides; money sums go through DECIMAL(18,2/4) so the
+  sum is exact before the final cast to double;
+- integer window sums are cast to BIGINT on the DuckDB side (DuckDB sums
+  integers into HUGEINT);
+- event-time arithmetic is exact int64 microseconds (unix_micros /
+  epoch_us) on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.operators import windows as W
+from audio_feature_extraction_spark.operators.asof import asof_join, dedupe_right
+from audio_feature_extraction_spark.operators.backfill import backfill, locf
+from audio_feature_extraction_spark.operators.sessionize import (
+    session_bounds,
+    with_session_id,
+)
+from audio_feature_extraction_spark.operators.timeutil import ts_micros
+from audio_feature_extraction_spark.plans.pipeline import feature_pipeline
+
+# events-table parameters: median same-user inter-event gap is ~7.7 h, so an
+# 8 h gap sessionizes into multi-event sessions; 2-day as-of tolerance gives a
+# healthy matched/unmatched mix (the missing-partner case stays exercised).
+EV_GAP_SEC = 28_800.0
+EV_TOL_SEC = 172_800.0
+EV_GAP_US = int(EV_GAP_SEC * 1_000_000)
+EV_TOL_US = int(EV_TOL_SEC * 1_000_000)
+
+_WU = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + the NULL-injected observation column ``v`` (missing-value
+    analog of unvoiced F0, SURVEY.md P1)."""
+    return _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("value") > 150, F.lit(None)).otherwise(F.col("value"))
+    )
+
+
+def _uw():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+# --------------------------------------------------------------------------
+# flagship pipeline plumbing: events reshaped to the input_hint schema
+# (doc_id, seq, tokens array<int32>, n_tok, source, ts, value)
+# --------------------------------------------------------------------------
+
+
+def _sequences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    n_tok = (F.pmod(F.col("event_id"), F.lit(31)) + F.lit(2)).cast("int")
+    return ev.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").cast("int").alias("seq"),
+        F.sequence(F.lit(1), n_tok).cast("array<int>").alias("tokens"),
+        n_tok.alias("n_tok"),
+        F.concat(F.lit("src"), F.pmod(F.col("user_id"), F.lit(4))).alias("source"),
+        "ts",
+        F.col("v").alias("value"),
+    )
+
+
+def _reference_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    deduped = ev.groupBy(
+        F.concat(F.lit("src"), F.pmod(F.col("user_id"), F.lit(4))).alias("source"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        "ts",
+    ).agg(F.max("value").alias("r0"))
+    return deduped.select("source", "doc_id", "ts", F.array("r0").alias("ref_vec"))
+
+
+def _pipeline(spark: SparkSession, sf_dir: str, strategy: str = "window") -> DataFrame:
+    seq = _sequences_from_events(spark, sf_dir)
+    ref = _reference_from_events(spark, sf_dir)
+    return feature_pipeline(
+        seq, ref, asof_strategy=strategy, gap_sec=EV_GAP_SEC, tol_sec=EV_TOL_SEC
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _pipeline(spark, "/root/testdata/sf0.001")
+
+
+def _pipeline_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _pipeline(spark, sf_dir)
+    el = lambda i: F.element_at("feature_vector", i)  # noqa: E731
+    return out.select(
+        "doc_id",
+        "seq",
+        "ts",
+        "session_id",
+        F.round(el(1), 6).alias("v_filled"),
+        F.round(el(2), 6).alias("delta1"),
+        F.round(el(3), 6).alias("delta9"),
+        F.round(el(4), 6).alias("roll_mean"),
+        F.round(el(5), 6).alias("roll_std"),
+        el(7).cast("int").alias("n_tok"),
+        el(8).cast("long").alias("cum_tokens"),
+        F.round(el(9), 6).alias("ref0"),
+        F.round(el(10), 6).alias("lag_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregation queries (SURVEY.md §2.4)
+# --------------------------------------------------------------------------
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing rollup (A1/A5 analog): exact DECIMAL sums,
+    cast to double only at the end."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    taxp = (F.lit(1.0) + F.col("l_tax")).cast("decimal(18,2)")
+    disc_price = (d2("l_extendedprice") * disc).cast("decimal(18,4)")
+    charge = disc_price * taxp
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(d2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(d2("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+       AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))
+       * CAST(1.0 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_SQL_GROUPED_STATS = """
+SELECT event_type, COUNT(*) AS n,
+  ROUND(AVG(value), 6) AS avg_value,
+  ROUND(STDDEV_SAMP(value), 6) AS std_value,
+  MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT event_type,
+  ROUND(QUANTILE_CONT(value, 0.25), 6) AS p25,
+  ROUND(QUANTILE_CONT(value, 0.50), 6) AS p50,
+  ROUND(QUANTILE_CONT(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+def _q_bool_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hi = (F.col("value") > 100).cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(hi) * 100, 6).alias("high_rate_pct"),
+        F.sum(hi).cast("long").alias("n_high"),
+    )
+
+
+_SQL_BOOL_RATES = """
+SELECT event_type,
+  ROUND(AVG(CASE WHEN value > 100 THEN 1 ELSE 0 END) * 100, 6) AS high_rate_pct,
+  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events GROUP BY event_type
+"""
+
+
+def _q_missing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("v").isNull().cast("int")), 6).alias("null_rate"),
+    )
+
+
+_SQL_MISSING_RATE = """
+SELECT event_type, COUNT(*) AS n,
+  ROUND(AVG(CASE WHEN value > 150 THEN 1 ELSE 0 END), 6) AS null_rate
+FROM events GROUP BY event_type
+"""
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.stddev_samp("n_chars"), 6).alias("std_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_SQL_CORPUS_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+  ROUND(AVG(n_chars), 6) AS avg_chars,
+  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+  ROUND(STDDEV_SAMP(n_chars), 6) AS std_chars,
+  COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-deduction quality scoring ladder (P8/P9,
+    04_…/feature_extractor.py:220-227)."""
+    ev = _t(spark, sf_dir, "events")
+    score = F.greatest(
+        F.lit(1.0)
+        - F.when(F.col("value") > 180, F.lit(0.3)).otherwise(F.lit(0.0))
+        - F.when(F.col("value") < 20, F.lit(0.3)).otherwise(F.lit(0.0))
+        - F.when(F.col("event_type") == "error", F.lit(0.3)).otherwise(F.lit(0.0)),
+        F.lit(0.0),
+    )
+    ev = ev.withColumn("score", score)
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.avg((F.col("score") >= 0.7).cast("int")), 6).alias("pass_rate"),
+    )
+
+
+_SQL_QUALITY_SCORE = """
+WITH s AS (
+  SELECT event_type,
+    GREATEST(1.0
+      - CASE WHEN value > 180 THEN 0.3 ELSE 0.0 END
+      - CASE WHEN value < 20 THEN 0.3 ELSE 0.0 END
+      - CASE WHEN event_type = 'error' THEN 0.3 ELSE 0.0 END, 0.0) AS score
+  FROM events)
+SELECT event_type, ROUND(AVG(score), 6) AS avg_score,
+  ROUND(AVG(CASE WHEN score >= 0.7 THEN 1 ELSE 0 END), 6) AS pass_rate
+FROM s GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionization (SURVEY.md §2.9)
+# --------------------------------------------------------------------------
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = with_session_id(
+        ev, keys=["user_id"], ts="ts", order=["ts", "event_id"], gap_sec=EV_GAP_SEC
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+_SQL_SESSIONIZE = f"""
+WITH gaps AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER ({_WU}) > {EV_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events)
+SELECT event_id, user_id,
+  CAST(SUM(is_new) OVER ({_WU} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM gaps
+"""
+
+
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sid = with_session_id(
+        ev, keys=["user_id"], ts="ts", order=["ts", "event_id"], gap_sec=EV_GAP_SEC
+    )
+    agg = session_bounds(sid, keys=["user_id"], ts="ts", min_rows=2)
+    return agg.select(
+        "user_id",
+        "session_id",
+        "n_rows",
+        "session_start",
+        "session_end",
+        (ts_micros("session_end") - ts_micros("session_start")).alias("duration_us"),
+    )
+
+
+_SQL_SESSION_STATS = f"""
+WITH gaps AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER ({_WU}) > {EV_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+    CAST(SUM(is_new) OVER ({_WU} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gaps)
+SELECT user_id, session_id, COUNT(*) AS n_rows,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM s GROUP BY user_id, session_id HAVING COUNT(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# missing-value strategies (W10)
+# --------------------------------------------------------------------------
+
+
+def _q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = _uw()
+    return ev.select(
+        "event_id",
+        "user_id",
+        locf("v", w, default=0.0).alias("v_locf"),
+        backfill("v", w, default=None).alias("v_backfill"),
+    )
+
+
+_SQL_LOCF_FILL = f"""
+WITH b AS (SELECT event_id, user_id, ts,
+           CASE WHEN value > 150 THEN NULL ELSE value END AS v FROM events)
+SELECT event_id, user_id,
+  COALESCE(LAST_VALUE(v IGNORE NULLS)
+           OVER ({_WU} ROWS UNBOUNDED PRECEDING), 0.0) AS v_locf,
+  FIRST_VALUE(v IGNORE NULLS)
+           OVER ({_WU} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS v_backfill
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# window features (W2-W9)
+# --------------------------------------------------------------------------
+
+
+def _q_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = _uw()
+    return ev.select(
+        "event_id",
+        W.delta1("value", w).alias("d1"),
+        W.lead_delta("value", w).alias("d_lead"),
+    )
+
+
+_SQL_LAG_LEAD_DELTA = f"""
+SELECT event_id,
+  COALESCE(value - LAG(value) OVER ({_WU}), 0.0) AS d1,
+  COALESCE(LEAD(value) OVER ({_WU}) - value, 0.0) AS d_lead
+FROM events
+"""
+
+
+def _duck_edge_lag(col: str, k: int) -> str:
+    return (
+        f"COALESCE(LAG({col}, {k}) OVER ({_WU}), "
+        f"FIRST_VALUE({col}) OVER ({_WU} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"
+    )
+
+
+def _q_delta9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = _uw()
+    return ev.select(
+        "event_id", F.round(W.delta_trailing("value", w, half=4), 6).alias("d9")
+    )
+
+
+# same term order & parenthesization as operators.windows.delta_trailing
+_SQL_DELTA9 = f"""
+SELECT event_id,
+  ROUND((0.0
+    + 1.0 * ({_duck_edge_lag("value", 3)} - {_duck_edge_lag("value", 5)})
+    + 2.0 * ({_duck_edge_lag("value", 2)} - {_duck_edge_lag("value", 6)})
+    + 3.0 * ({_duck_edge_lag("value", 1)} - {_duck_edge_lag("value", 7)})
+    + 4.0 * (value - {_duck_edge_lag("value", 8)})) / 60.0, 6) AS d9
+FROM events
+"""
+
+
+def _q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = _uw()
+    return ev.select(
+        "event_id",
+        F.round(W.rolling_mean("value", w, 5), 6).alias("rmean"),
+        F.round(W.rolling_std_pop("value", w, 5), 6).alias("rstd"),
+        W.rolling_min("value", w, 5).alias("rmin"),
+        W.rolling_max("value", w, 5).alias("rmax"),
+    )
+
+
+_SQL_ROLLING_STATS = f"""
+SELECT event_id,
+  ROUND(AVG(value) OVER w5, 6) AS rmean,
+  ROUND(COALESCE(STDDEV_POP(value) OVER w5, 0.0), 6) AS rstd,
+  MIN(value) OVER w5 AS rmin,
+  MAX(value) OVER w5 AS rmax
+FROM events
+WINDOW w5 AS ({_WU} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = _uw()
+    return ev.select(
+        "event_id", F.round(W.rolling_median("value", w, 5), 6).alias("rmed")
+    )
+
+
+_SQL_ROLLING_MEDIAN = f"""
+SELECT event_id,
+  ROUND(MEDIAN(value) OVER ({_WU} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+  AS rmed
+FROM events
+"""
+
+
+def _q_savgol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = _uw()
+    coeffs = W.savgol_coeffs(11, 3)
+    return ev.select(
+        "event_id", F.round(W.weighted_window("value", w, coeffs), 6).alias("smooth")
+    )
+
+
+def _sql_savgol() -> str:
+    coeffs = W.savgol_coeffs(11, 3)
+    n = len(coeffs)
+    terms = "".join(
+        f"\n    + ({c!r}) * {_duck_edge_lag('value', n - 1 - i)}"
+        for i, c in enumerate(coeffs)
+    )
+    return f"SELECT event_id, ROUND((0.0{terms}), 6) AS smooth FROM events"
+
+
+def _q_preemph_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("c", F.col("value") - 100.0)
+    w = _uw()
+    return ev.select(
+        "event_id",
+        F.round(W.preemphasis("value", w, 0.97), 6).alias("preemph"),
+        F.round(W.sign_change_rate("c", w, 10), 6).alias("scr"),
+    )
+
+
+_SQL_PREEMPH_ZCR = f"""
+WITH b AS (SELECT event_id, user_id, ts, value, value - 100.0 AS c FROM events),
+flips AS (
+  SELECT event_id, user_id, ts, value,
+    COALESCE(CASE WHEN SIGN(c) * SIGN(LAG(c) OVER ({_WU})) < 0
+             THEN 1.0 ELSE 0.0 END, 0.0) AS flip
+  FROM b)
+SELECT event_id,
+  ROUND(value - 0.97 * COALESCE(LAG(value) OVER ({_WU}), 0.0), 6) AS preemph,
+  ROUND(AVG(flip) OVER ({_WU} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS scr
+FROM flips
+"""
+
+
+def _q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = _uw()
+    return ev.select(
+        "event_id",
+        F.round(W.running_sum(F.col("value"), w), 6).alias("cum_value"),
+        W.running_max("value", w).alias("cum_max"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+_SQL_RUNNING_TOTALS = f"""
+SELECT event_id,
+  ROUND(SUM(value) OVER ({_WU} ROWS UNBOUNDED PRECEDING), 6) AS cum_value,
+  MAX(value) OVER ({_WU} ROWS UNBOUNDED PRECEDING) AS cum_max,
+  ROW_NUMBER() OVER ({_WU}) AS rn
+FROM events
+"""
+
+
+def _q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = W.top1_per_group(
+        ev, keys=["user_id"], order_cols=[F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select("user_id", "event_id", "ts", "value")
+
+
+_SQL_TOP1 = """
+SELECT user_id, event_id, ts, value FROM (
+  SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# as-of joins (J4/J5) — all three physical strategies against one oracle
+# --------------------------------------------------------------------------
+
+
+def _asof_frames(spark: SparkSession, sf_dir: str):
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("ref_value")
+    )
+    right = dedupe_right(right, on=["user_id"], ts="ts")
+    return left, right
+
+
+def _q_asof(strategy: str, direction: str = "backward"):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        left, right = _asof_frames(spark, sf_dir)
+        return asof_join(
+            left,
+            right,
+            on=["user_id"],
+            left_ts="ts",
+            tolerance_sec=EV_TOL_SEC,
+            direction=direction,
+            strategy=strategy,
+        )
+
+    return q
+
+
+_SQL_ASOF_BACKWARD = f"""
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, MAX(value) AS ref_value FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, l.ts, l.value,
+  CASE WHEN r.ts IS NOT NULL
+        AND epoch_us(l.ts) - epoch_us(r.ts) <= {EV_TOL_US}
+       THEN r.ts END AS matched_ts,
+  CASE WHEN r.ts IS NOT NULL
+        AND epoch_us(l.ts) - epoch_us(r.ts) <= {EV_TOL_US}
+       THEN r.ref_value END AS ref_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+_SQL_ASOF_FORWARD = f"""
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, MAX(value) AS ref_value FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id, ts),
+     m AS (SELECT l.*,
+           (SELECT MIN(r.ts) FROM r
+            WHERE r.user_id = l.user_id AND r.ts >= l.ts) AS cand FROM l)
+SELECT event_id, user_id, ts, value,
+  CASE WHEN cand IS NOT NULL
+        AND epoch_us(cand) - epoch_us(ts) <= {EV_TOL_US}
+       THEN cand END AS matched_ts,
+  CASE WHEN cand IS NOT NULL
+        AND epoch_us(cand) - epoch_us(ts) <= {EV_TOL_US}
+       THEN (SELECT r.ref_value FROM r
+             WHERE r.user_id = m.user_id AND r.ts = m.cand) END AS ref_value
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# equi / anti joins (J1-J3)
+# --------------------------------------------------------------------------
+
+
+def _q_equi_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim chain + 1:N fan-out rollup (J1/J3)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        orders, cust.c_custkey == orders.o_custkey, "left_outer"
+    )
+    return j.groupBy("n_name").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+_SQL_EQUI_JOIN_FANOUT = """
+SELECT n_name,
+  COUNT(DISTINCT c_custkey) AS n_customers,
+  COUNT(o_orderkey) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY n_name
+"""
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# flagship pipeline as a gated query
+# --------------------------------------------------------------------------
+
+_SQL_PIPELINE = f"""
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(event_id AS INT) AS seq,
+         user_id, ts,
+         CASE WHEN value > 150 THEN NULL ELSE value END AS v,
+         CAST((event_id % 31) + 2 AS INT) AS n_tok
+  FROM events),
+gaps AS (
+  SELECT *,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+              OVER (PARTITION BY doc_id ORDER BY ts, seq) > {EV_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM base),
+f AS (
+  SELECT doc_id, seq, user_id, ts, n_tok,
+    COALESCE(LAST_VALUE(v IGNORE NULLS) OVER wh, 0.0) AS v_filled,
+    CAST(SUM(CAST(n_tok AS BIGINT)) OVER wh AS BIGINT) AS cum_tokens,
+    CAST(SUM(is_new) OVER wh AS BIGINT) AS session_id
+  FROM gaps
+  WINDOW wh AS (PARTITION BY doc_id ORDER BY ts, seq ROWS UNBOUNDED PRECEDING)),
+g AS (
+  SELECT *,
+    COALESCE(v_filled - LAG(v_filled) OVER w, 0.0) AS delta1,
+    (0.0
+     + 1.0 * (COALESCE(LAG(v_filled, 3) OVER w, FIRST_VALUE(v_filled) OVER wf)
+            - COALESCE(LAG(v_filled, 5) OVER w, FIRST_VALUE(v_filled) OVER wf))
+     + 2.0 * (COALESCE(LAG(v_filled, 2) OVER w, FIRST_VALUE(v_filled) OVER wf)
+            - COALESCE(LAG(v_filled, 6) OVER w, FIRST_VALUE(v_filled) OVER wf))
+     + 3.0 * (COALESCE(LAG(v_filled, 1) OVER w, FIRST_VALUE(v_filled) OVER wf)
+            - COALESCE(LAG(v_filled, 7) OVER w, FIRST_VALUE(v_filled) OVER wf))
+     + 4.0 * (v_filled
+            - COALESCE(LAG(v_filled, 8) OVER w, FIRST_VALUE(v_filled) OVER wf))
+    ) / 60.0 AS delta9,
+    AVG(v_filled) OVER w5 AS roll_mean,
+    COALESCE(STDDEV_POP(v_filled) OVER w5, 0.0) AS roll_std
+  FROM f
+  WINDOW w AS (PARTITION BY doc_id ORDER BY ts, seq),
+         w5 AS (PARTITION BY doc_id ORDER BY ts, seq
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY doc_id ORDER BY ts, seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+r AS (SELECT user_id, ts, MAX(value) AS r0 FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+m AS (SELECT g.*, r.ts AS rts, r.r0
+      FROM g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.ts >= r.ts)
+SELECT doc_id, seq, ts, session_id,
+  ROUND(v_filled, 6) AS v_filled,
+  ROUND(delta1, 6) AS delta1,
+  ROUND(delta9, 6) AS delta9,
+  ROUND(roll_mean, 6) AS roll_mean,
+  ROUND(roll_std, 6) AS roll_std,
+  n_tok, cum_tokens,
+  ROUND(CASE WHEN rts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(rts) <= {EV_TOL_US}
+        THEN r0 ELSE 0.0 END, 6) AS ref0,
+  ROUND(CASE WHEN rts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(rts) <= {EV_TOL_US}
+        THEN (epoch_us(ts) - epoch_us(rts)) / 1000000.0 ELSE -1.0 END, 6)
+        AS lag_sec
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "grouped_stats": _q_grouped_stats,
+        "percentiles": _q_percentiles,
+        "bool_rates": _q_bool_rates,
+        "missing_rate": _q_missing_rate,
+        "corpus_stats": _q_corpus_stats,
+        "quality_score": _q_quality_score,
+        "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
+        "locf_fill": _q_locf_fill,
+        "lag_lead_delta": _q_lag_lead_delta,
+        "delta9": _q_delta9,
+        "rolling_stats": _q_rolling_stats,
+        "rolling_median": _q_rolling_median,
+        "savgol_smooth": _q_savgol,
+        "preemph_zcr": _q_preemph_zcr,
+        "running_totals": _q_running_totals,
+        "top1_per_group": _q_top1_per_group,
+        "asof_backward": _q_asof("window"),
+        "asof_salted": _q_asof("salted"),
+        "asof_range_merge": _q_asof("range_merge"),
+        "asof_forward": _q_asof("window", direction="forward"),
+        "equi_join_fanout": _q_equi_join_fanout,
+        "anti_join": _q_anti_join,
+        "pipeline_features": _pipeline_scalar,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _SQL_PRICING,
+        "grouped_stats": _SQL_GROUPED_STATS,
+        "percentiles": _SQL_PERCENTILES,
+        "bool_rates": _SQL_BOOL_RATES,
+        "missing_rate": _SQL_MISSING_RATE,
+        "corpus_stats": _SQL_CORPUS_STATS,
+        "quality_score": _SQL_QUALITY_SCORE,
+        "sessionize": _SQL_SESSIONIZE,
+        "session_stats": _SQL_SESSION_STATS,
+        "locf_fill": _SQL_LOCF_FILL,
+        "lag_lead_delta": _SQL_LAG_LEAD_DELTA,
+        "delta9": _SQL_DELTA9,
+        "rolling_stats": _SQL_ROLLING_STATS,
+        "rolling_median": _SQL_ROLLING_MEDIAN,
+        "savgol_smooth": _sql_savgol(),
+        "preemph_zcr": _SQL_PREEMPH_ZCR,
+        "running_totals": _SQL_RUNNING_TOTALS,
+        "top1_per_group": _SQL_TOP1,
+        "asof_backward": _SQL_ASOF_BACKWARD,
+        "asof_salted": _SQL_ASOF_BACKWARD,
+        "asof_range_merge": _SQL_ASOF_BACKWARD,
+        "asof_forward": _SQL_ASOF_FORWARD,
+        "equi_join_fanout": _SQL_EQUI_JOIN_FANOUT,
+        "anti_join": _SQL_ANTI_JOIN,
+        "pipeline_features": _SQL_PIPELINE,
+    }

@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from audio_feature_extraction_spark.operators.timeutil import ts_micros
+
 _MARK = "__is_ref"
 _TS = "__asof_ts"
 _SALT = "__salt"
@@ -89,9 +91,9 @@ def _finish(matched: DataFrame, left_cols, left_ts, right_payload, tolerance_sec
         # exact int64 microsecond arithmetic — no double-rounding at the
         # tolerance boundary
         if direction == "backward":
-            lag = F.unix_micros(_TS) - F.unix_micros("__m___r_ts")
+            lag = ts_micros(_TS) - ts_micros("__m___r_ts")
         else:
-            lag = F.unix_micros("__m___r_ts") - F.unix_micros(_TS)
+            lag = ts_micros("__m___r_ts") - ts_micros(_TS)
         ok = F.col("__m___r_ts").isNotNull() & (
             lag <= F.lit(int(round(tolerance_sec * 1_000_000)))
         )

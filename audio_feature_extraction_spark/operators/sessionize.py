@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from audio_feature_extraction_spark.operators.timeutil import ts_micros
+
 
 def with_session_id(
     df: DataFrame,
@@ -32,7 +34,7 @@ def with_session_id(
     order = order or [ts]
     w = Window.partitionBy(*keys).orderBy(*order)
     hist = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap_us = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts)), 1).over(w)
+    gap_us = ts_micros(ts) - F.lag(ts_micros(ts), 1).over(w)
     is_new = F.when(
         gap_us > F.lit(int(round(gap_sec * 1_000_000))), F.lit(1)
     ).otherwise(F.lit(0))
@@ -54,7 +56,7 @@ def session_bounds(
         F.max(ts).alias("session_end"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    dur = F.col("session_end").cast("double") - F.col("session_start").cast("double")
+    dur = (ts_micros("session_end") - ts_micros("session_start")).cast("double") / 1e6
     agg = agg.withColumn("duration_sec", dur)
     if min_duration_sec is not None:
         agg = agg.where(F.col("duration_sec") >= F.lit(float(min_duration_sec)))

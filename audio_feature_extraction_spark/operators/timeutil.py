@@ -1,0 +1,24 @@
+"""Event-time arithmetic helpers.
+
+Parquet timestamps arrive as TIMESTAMP or TIMESTAMP_NTZ depending on the
+session's ``spark.sql.parquet.inferTimestampNTZ.enabled``; ``unix_micros``
+only accepts TIMESTAMP. All engine event-time math goes through
+:func:`ts_micros` so either type works: NTZ is cast to TIMESTAMP first
+(session-tz reinterpretation — harmless for the *differences* the engine
+computes, which is all it ever does with these values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def ts_micros(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def is_ntz(df, col: str) -> bool:
+    return isinstance(df.schema[col].dataType, TimestampNTZType)

@@ -30,12 +30,15 @@ from audio_feature_extraction_spark.operators import windows as W
 from audio_feature_extraction_spark.operators.asof import asof_join
 from audio_feature_extraction_spark.operators.backfill import locf
 from audio_feature_extraction_spark.operators.sessionize import with_session_id
+from audio_feature_extraction_spark.operators.timeutil import ts_micros
 
 
 def feature_pipeline(
     seq: DataFrame,
     ref: DataFrame,
     asof_strategy: str = "window",
+    gap_sec: float = GAP_SEC,
+    tol_sec: float = ASOF_TOL_SEC,
 ) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("ts", "seq")
 
@@ -46,7 +49,7 @@ def feature_pipeline(
     df = df.withColumn("roll_mean", W.rolling_mean("v_filled", w, ROLL_WINDOW))
     df = df.withColumn("roll_std", W.rolling_std_pop("v_filled", w, ROLL_WINDOW))
     df = df.withColumn("cum_tokens", W.running_sum(F.col("n_tok").cast("long"), w))
-    df = with_session_id(df, keys=["doc_id"], ts="ts", order=["ts", "seq"], gap_sec=GAP_SEC)
+    df = with_session_id(df, keys=["doc_id"], ts="ts", order=["ts", "seq"], gap_sec=gap_sec)
 
     # point-in-time reference lookup (backward as-of, tolerance-bounded)
     matched = asof_join(
@@ -54,14 +57,14 @@ def feature_pipeline(
         ref,
         on=["source", "doc_id"],
         left_ts="ts",
-        tolerance_sec=ASOF_TOL_SEC,
+        tolerance_sec=tol_sec,
         direction="backward",
         strategy=asof_strategy,
     )
 
     # exact µs subtraction first, one double division after (oracle parity)
     lag_sec = (
-        (F.unix_micros("ts") - F.unix_micros("matched_ts")).cast("double") / 1e6
+        (ts_micros("ts") - ts_micros("matched_ts")).cast("double") / 1e6
     )
     out = matched.select(
         "doc_id",

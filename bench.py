@@ -1,0 +1,95 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "tokens_per_sec": ...}
+
+Execution sinks to the noop datasource so we measure engine time, not
+driver collect. Flagship tokens/sec (the BASELINE.json metric) is derived
+from the pipeline_features run: total emitted tokens / wall sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from audio_feature_extraction_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "grouped_stats",
+    "percentiles",
+    "sessionize",
+    "session_stats",
+    "locf_fill",
+    "delta9",
+    "rolling_stats",
+    "savgol_smooth",
+    "running_totals",
+    "asof_backward",
+    "asof_salted",
+    "asof_range_merge",
+    "equi_join_fanout",
+    "pipeline_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(
+        app_name="afe-bench", cores=cpus, shuffle_partitions=max(2 * cpus, 32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    # flagship throughput: tokens emitted per second through the full
+    # point-in-time pipeline (the BASELINE.json headline metric)
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    out = entry_mod._pipeline(spark, sf_dir)
+    total_tokens = out.agg(F.sum(F.size("tokens"))).collect()[0][0] or 0
+    pipe_sec = time.time() - t0
+    tokens_per_sec = round(total_tokens / pipe_sec, 1) if pipe_sec > 0 else 0.0
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "feature_eng_headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                "tokens_per_sec": tokens_per_sec,
+                "pipeline_tokens": int(total_tokens),
+                "pipeline_sec": round(pipe_sec, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

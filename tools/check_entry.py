@@ -1,0 +1,132 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same sf dir, then compares
+row counts, schemas (column-name sets) and values (rows sorted, columns
+sorted by name, exact match after canonicalization). Usage:
+
+    python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from audio_feature_extraction_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if str(s.dtype).startswith("datetime64"):
+            pdf[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            pdf[c] = s.where(s.notna(), None)
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.astype("float64")
+    pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    if set(a.columns) != set(b.columns):
+        return [f"schema mismatch: spark={sorted(a.columns)} duck={sorted(b.columns)}"]
+    if len(a) != len(b):
+        errs.append(f"row count: spark={len(a)} duck={len(b)}")
+        return errs
+    a, b = canon(a), canon(b)
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if pd.api.types.is_float_dtype(x) and pd.api.types.is_float_dtype(y):
+            xa, ya = x.to_numpy(), y.to_numpy()
+            eq = (xa == ya) | (np.isnan(xa) & np.isnan(ya))
+            if not eq.all():
+                bad = np.flatnonzero(~eq)
+                d = np.nanmax(np.abs(xa[~eq] - ya[~eq]))
+                errs.append(
+                    f"col {c}: {len(bad)} mismatches, maxdiff={d:.3e}, "
+                    f"first idx={bad[:3]} spark={xa[bad[:3]]} duck={ya[bad[:3]]}"
+                )
+        else:
+            eq = (x == y) | (x.isna() & y.isna())
+            if not eq.all():
+                bad = np.flatnonzero(~eq.to_numpy())
+                errs.append(
+                    f"col {c} ({x.dtype}/{y.dtype}): {len(bad)} mismatches, "
+                    f"first idx={bad[:3]} spark={x.iloc[bad[:3]].tolist()} "
+                    f"duck={y.iloc[bad[:3]].tolist()}"
+                )
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark(app_name="check-entry", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        sql = os_.get(name)
+        if sql is None:
+            print(f"SKIP  {name}: no oracle (rows={len(spdf)})")
+            continue
+        try:
+            ddf = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        errs = compare(name, spdf, ddf)
+        dt = time.time() - t0
+        if errs:
+            n_fail += 1
+            print(f"FAIL  {name} ({dt:.1f}s, rows={len(spdf)})")
+            for e in errs[:6]:
+                print(f"      {e}")
+        else:
+            print(f"OK    {name} ({dt:.1f}s, rows={len(spdf)})")
+
+    # entry() smoke
+    if not only:
+        out = entry_mod.entry(spark)
+        n = out.count()
+        print(f"entry(): rows={n} schema={[f.name for f in out.schema.fields]}")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
