@@ -734,6 +734,234 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# dedup suite (documents table; the driver testdata plants near-duplicates)
+# --------------------------------------------------------------------------
+
+from audio_feature_extraction_spark.operators import dedup as _D  # noqa: E402
+from audio_feature_extraction_spark.operators import multimodal as _M  # noqa: E402
+from audio_feature_extraction_spark.operators import similarity as _S  # noqa: E402
+from audio_feature_extraction_spark.operators import text as _T  # noqa: E402
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _D.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+         AS dedup_key,
+       MIN(doc_id) AS survivor_id,
+       COUNT(*) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+# shared brute-force 3-gram jaccard pair CTE (DuckDB)
+_SQL_JACCARD_BASE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+        FROM d),
+sh AS (SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE inter / (sa.n + sb.n - inter) >= 0.8
+"""
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded candidates + exact verification. Oracle = brute force: at
+    j≥0.8 with 32 bands × 3 rows, miss probability ≤ 2e-10 per pair, and the
+    testdata's qualifying pairs all sit ≥ 0.9."""
+    return _D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+def _duck_word_hash(x: str) -> str:
+    return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _sql_simhash_cte(bits: int = _D.SIMHASH_BITS) -> str:
+    """Programmatically generated DuckDB twin of operators.dedup.simhash."""
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+h AS (SELECT doc_id, {_duck_word_hash('word')} AS h FROM w),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS simhash FROM sums)
+"""
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _D.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_simhash() -> str:
+    return f"WITH {_sql_simhash_cte()} SELECT doc_id, simhash FROM sig"
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _D.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    # oracle is the brute-force all-pairs hamming; the engine's banded join
+    # has exact recall for max_hamming < bands (pigeonhole)
+    return f"""
+WITH {_sql_simhash_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis suite
+# --------------------------------------------------------------------------
+
+
+def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _T.whitespace_token_count("text").alias("wc"),
+        _T.bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.round(_T.quality_score("text"), 6).alias("quality"),
+        _T.lang_id("text").alias("lang_pred"),
+        _T.doc_fingerprint("text").alias("fingerprint"),
+        _T.min_shingle_fingerprint("text").alias("min_shingle_fp"),
+    )
+
+
+def _sql_text_features() -> str:
+    marker_hits = {
+        lang: (
+            "len(list_filter(string_split(text,' '), "
+            f"w -> list_contains({markers!r}, w)))"
+        )
+        for lang, markers in _T.LANG_MARKERS.items()
+    }
+    gm = "GREATEST(" + ", ".join(f"h_{l}" for l in _T.LANG_MARKERS) + ")"
+    lang_case = "CASE WHEN " + gm + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{l} = {gm} THEN '{l}'" for l in _T.LANG_MARKERS
+    ) + " END"
+    hit_cols = ", ".join(f"{expr} AS h_{l}" for l, expr in marker_hits.items())
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    len(string_split(text, ' ')) AS wc,
+    len(regexp_extract_all(text, '{_T.BPE_ISH_PATTERN}')) AS bpe_tokens,
+    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+    {hit_cols}
+  FROM documents),
+q AS (
+  SELECT *,
+    n_distinct / wc AS dwr,
+    (length(text) - (wc - 1)) / wc AS awl
+  FROM base),
+sh AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+  FROM (SELECT doc_id, string_split(text,' ') AS words,
+               unnest(generate_series(1, len(string_split(text,' ')) - 2)) AS i
+        FROM documents)),
+msf AS (SELECT doc_id, MIN({_duck_word_hash('s')}) AS min_shingle_fp
+        FROM sh GROUP BY doc_id)
+SELECT q.doc_id, wc, bpe_tokens,
+  ROUND(GREATEST(1.0
+    - CASE WHEN wc < 20 THEN 0.3 ELSE 0.0 END
+    - CASE WHEN dwr < 0.4 THEN 0.3 ELSE 0.0 END
+    - CASE WHEN awl < 2.5 OR awl > 12.0 THEN 0.3 ELSE 0.0 END, 0.0), 6)
+    AS quality,
+  {lang_case} AS lang_pred,
+  md5(text) AS fingerprint,
+  msf.min_shingle_fp
+FROM q JOIN msf ON q.doc_id = msf.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search suite (embeddings table)
+# --------------------------------------------------------------------------
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _S.brute_force_topk(emb, queries, k=10)
+
+
+_SQL_ANN_TOPK = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.qe, v.e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+       * sqrt(list_sum(list_transform(v.e, x -> x * x)))) AS cos
+  FROM v, q WHERE v.vec_id != q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _S.lsh_bucketed_topk(emb, queries, k=10)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing over synthesized payloads (no media
+    codecs in this container; deterministic fake decoder, real Arrow path)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = _M.extract_media_features(_M.with_media_meta(d), fake=True)
+    return out.select("doc_id", F.size("media_features").alias("feat_dim"))
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("int").alias("n_frames")
+    )
+    return _M.frame_sample_plan(d, every=10).select("doc_id", "frame_idx")
+
+
+_SQL_FRAME_SAMPLE = """
+SELECT doc_id,
+       unnest(generate_series(0, GREATEST(n_chars - 1, 0), 10)) AS frame_idx
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -765,6 +993,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_join_fanout": _q_equi_join_fanout,
         "anti_join": _q_anti_join,
         "pipeline_features": _pipeline_scalar,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "simhash_signatures": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "text_features": _q_text_features,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_lsh_topk,
+        "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -795,4 +1033,14 @@ def oracle_sql() -> dict[str, str]:
         "equi_join_fanout": _SQL_EQUI_JOIN_FANOUT,
         "anti_join": _SQL_ANTI_JOIN,
         "pipeline_features": _SQL_PIPELINE,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": _SQL_JACCARD_BASE,
+        "dedup_minhash_lsh": _SQL_JACCARD_BASE,
+        "simhash_signatures": _sql_simhash(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "text_features": _sql_text_features(),
+        "ann_cosine_topk": _SQL_ANN_TOPK,
+        "frame_sample": _SQL_FRAME_SAMPLE,
+        # ann_lsh_topk: probabilistic recall — rows-only check
+        # media_features: mapInPandas decode plumbing — rows-only check
     }

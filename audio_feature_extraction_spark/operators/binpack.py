@@ -1,0 +1,120 @@
+"""n_tok-aware bin-packing of token payloads (SURVEY.md §4.2).
+
+Problem: repartitioning sequences by row count balances *rows*, but the
+shuffle payload is the ``tokens`` arrays — docs vary 10-1000× in n_tok, so
+row-balanced partitions are byte-skewed, and the slowest (fattest) partition
+gates every stage that follows. The reference has the same issue in
+file-batch form (batch_size=20 regardless of file length,
+`05_dtw_alignment_experiment/dtw_alignment.py:44-45`).
+
+Strategy (fully distributed, two light shuffles, no driver collect of data):
+
+1. running payload total per ordering key — one window over a cheap
+   deterministic order (``order_cols``);
+2. ``bin_id = floor(cum_payload / target_bytes_per_bin)`` — consecutive rows
+   pack greedily into bins of ~equal *payload*, not equal row count;
+3. ``repartition(num_bins, bin_id)`` — hash exchange on the computed bin.
+
+The window in step 1 is global-ordered *per group* (default: per ``source``)
+so the sort parallelizes across groups; within a group the running sum is the
+classic prefix-scan window. For truly single-group inputs, pass
+``salt_groups > 1`` to pre-split the scan (bins remain balanced because the
+split is payload-blind).
+
+Determinism: bin assignment is a pure function of (order_cols, payload), so
+two runs at different parallelism produce identical bin contents — tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BIN_COL = "__bin_id"
+
+
+def with_bin_id(
+    df: DataFrame,
+    payload_col: str = "n_tok",
+    order_cols: list[str] | None = None,
+    group_cols: list[str] | None = None,
+    target_payload_per_bin: int = 4_000_000,
+    salt_groups: int = 1,
+    out: str = BIN_COL,
+) -> DataFrame:
+    """Assign a payload-balanced bin id.
+
+    ``target_payload_per_bin`` is in payload units (tokens ≈ 4 bytes each for
+    int32, so 4M tokens ≈ 16 MiB shuffle blocks — small enough to never spill,
+    large enough to amortize task overhead)."""
+    order_cols = order_cols or ["doc_id", "seq"]
+    group_cols = list(group_cols) if group_cols else []
+    gcols = group_cols.copy()
+    if salt_groups > 1:
+        # payload-blind split of a single giant group; xxhash64 of the order
+        # key is deterministic across runs and partitionings
+        df = df.withColumn(
+            "__scan_salt",
+            F.pmod(F.xxhash64(*order_cols), F.lit(salt_groups)).cast("int"),
+        )
+        gcols.append("__scan_salt")
+
+    w = Window.partitionBy(*gcols).orderBy(*order_cols) if gcols else Window.orderBy(
+        *order_cols
+    )
+    cum = F.sum(F.col(payload_col).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = df.withColumn(
+        out,
+        F.floor((cum - F.lit(1)) / F.lit(int(target_payload_per_bin))).cast("int"),
+    )
+    if salt_groups > 1:
+        # disambiguate bins across scan salts, then drop the helper
+        df = df.withColumn(
+            out, F.col(out) * F.lit(salt_groups) + F.col("__scan_salt")
+        ).drop("__scan_salt")
+    if group_cols:
+        # bins are per-group; make the id globally unique via a hash mix
+        df = df.withColumn(
+            out,
+            F.pmod(
+                F.xxhash64(F.concat_ws("\x00", *group_cols), F.col(out)),
+                F.lit(2**31 - 1),
+            ).cast("int"),
+        )
+    return df
+
+
+def repartition_by_payload(
+    df: DataFrame,
+    payload_col: str = "n_tok",
+    order_cols: list[str] | None = None,
+    group_cols: list[str] | None = None,
+    target_payload_per_bin: int = 4_000_000,
+    num_partitions: int | None = None,
+    salt_groups: int = 1,
+) -> DataFrame:
+    """Bin-pack then exchange: returns the same rows, partitioned so each
+    task's token-payload is ~target_payload_per_bin."""
+    binned = with_bin_id(
+        df,
+        payload_col=payload_col,
+        order_cols=order_cols,
+        group_cols=group_cols,
+        target_payload_per_bin=target_payload_per_bin,
+        salt_groups=salt_groups,
+    )
+    nparts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return binned.repartition(nparts, F.col(BIN_COL)).drop(BIN_COL)
+
+
+def partition_payload_stats(df: DataFrame, payload_col: str = "n_tok") -> DataFrame:
+    """Observability: per-partition (rows, payload) — feeds the skew check in
+    tests and the lineage manifest."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col(payload_col).cast("long")).alias("payload"),
+    )

@@ -1,0 +1,292 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all pure DataFrame ops (no Python in the hot path), all built
+as *inverted-index / banded joins* — the shapes that survive 100 TB, never
+all-pairs loops:
+
+- exact dedup          hash-groupBy on a canonical key
+- n-gram Jaccard       shingle inverted-index join → exact jaccard
+- MinHash + LSH        shingle → num_perm minhashes → banded candidate join
+                       → exact-jaccard verification of candidates only
+- SimHash              56-bit signature from a *portable* md5-derived word
+                       hash; near-dup pairs via 8×7-bit band join. Pigeonhole:
+                       a pair at hamming ≤ 7 agrees on ≥ 1 band, so recall is
+                       exact (not probabilistic) for max_hamming ≤ 7.
+
+Scale notes:
+- the shingle join's hot keys are stop-shingles; ``df_cap`` drops shingles
+  whose document frequency exceeds the cap (they carry no dedup signal and
+  cause the quadratic pair blowup);
+- MinHash signatures are computed in ONE hash-aggregate pass (num_perm min()
+  aggs over the exploded shingles), not num_perm passes;
+- candidate verification joins per-doc shingle *sets* (bounded by doc length),
+  never re-scanning the corpus.
+
+The portable word hash (md5 hex → int64) is chosen so the DuckDB oracle can
+reproduce signatures bit-for-bit; xxhash64 is used where only Spark needs to
+agree with itself (MinHash perms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 56  # portable hash yields 60 usable bits; 8 bands x 7 bits
+SIMHASH_BANDS = 8
+
+
+def portable_word_hash(col: Column) -> Column:
+    """md5-derived 60-bit hash reproducible in any SQL engine:
+    int64(first 15 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def canonical_key(text_col: str) -> Column:
+    """Word-set canonical form: sorted distinct words. Docs equal under it
+    are exact duplicates up to word order/multiplicity."""
+    return F.array_join(F.array_sort(F.array_distinct(words(text_col))), " ")
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out: str = "shingle"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    w = words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias(out))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, key: Column | None = None, text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per canonical key with the surviving
+    (minimum) id and the duplicate count. One shuffle on the key."""
+    key = key if key is not None else canonical_key(text_col)
+    return (
+        df.select(F.col(id_col), key.alias("dedup_key"))
+        .groupBy("dedup_key")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """All pairs with n-gram-shingle Jaccard ≥ threshold, via the inverted
+    index: explode shingles → self-join on shingle → count intersections →
+    |A∩B| / (|A|+|B|-|A∩B|). Output (id_a, id_b, jaccard), id_a < id_b."""
+    sh = shingles(df, id_col, text_col, n)
+    if df_cap is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > df_cap)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------- MinHash LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 96,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>[num_perm]) in one pass: num_perm min() aggs over
+    the exploded shingles; perm p = xxhash64(seed+p, shingle)."""
+    sh = shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(seed + p), F.col("shingle"))).alias(f"_m{p}")
+        for p in range(num_perm)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    bands: int = 32,
+    rows_per_band: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-banded near-dup pairs, verified: candidates from the band join,
+    then EXACT jaccard on candidates only (so precision is exact; recall at
+    j=0.8 with 32x3 bands is 1-(1-0.8³)^32 ≈ 1-2e-10)."""
+    num_perm = bands * rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                .alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_cols).alias("b")).select(
+        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    l = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    r = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (
+        l.join(r, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verification: per-doc shingle sets joined onto the candidates
+    sets_ = (
+        shingles(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh_set"))
+    )
+    va = sets_.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
+    vb = sets_.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("set_a") + F.size("set_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ------------------------------------------------------------------- SimHash
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash long): bit i of the signature is the sign of
+    Σ_words (±1 by bit i of the portable word hash). Word multiplicity
+    weights naturally (no distinct)."""
+    w = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+    h = portable_word_hash(F.col("w"))
+    w = w.withColumn("h", h)
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    agg = w.groupBy(id_col).agg(*sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Near-dup pairs at hamming ≤ max_hamming via band join (exact recall for
+    max_hamming < bands) + bit_count verification. Output
+    (id_a, id_b, hamming)."""
+    assert max_hamming < bands, "pigeonhole recall guarantee needs hamming < bands"
+    sig = simhash(df, id_col, text_col, bits)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), "simhash", F.explode(band_arr).alias("b"))
+    banded = banded.select(
+        F.col(id_col), "simhash", F.col("b.band").alias("band"),
+        F.col("b.bh").alias("bh"),
+    )
+    l = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bh"
+    )
+    r = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bh"
+    )
+    cand = (
+        l.join(r, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same API shape:
+
+- :func:`brute_force_topk` — exact cosine top-k. The query side is
+  ``broadcast()``-hinted: at 100 TB the corpus side streams through executors
+  once, the (small) query set rides along, and there is NO shuffle of the
+  corpus — the only exchange is the final per-query top-k combine, which is
+  `rows = n_queries × k`.
+- :func:`lsh_bucketed_topk` — random-hyperplane LSH: vectors bucket by the
+  sign pattern of `n_planes` fixed hyperplanes (plan-time literal matrix,
+  seeded); candidates = same bucket, then exact cosine within bucket.
+  Sub-linear candidate sets at the cost of recall (multi-probe: also search
+  buckets at hamming distance 1 from the query's bucket).
+
+All vector math is JVM-side higher-order functions (zip_with + aggregate) in
+double precision, strictly sequential summation — reproducible across
+partitionings and matched by the DuckDB oracle's list_transform/list_sum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, rank, cos).
+    Self-matches (same id) are excluded."""
+    q = queries.select(
+        F.col(id_col).alias(query_id), _to_double(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id))
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _plane_literals(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.normal(0.0, 1.0, dim)] for _ in range(n_planes)]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    out: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane signature: bit p = (v · plane_p) > 0."""
+    planes = _plane_literals(n_planes, dim, seed)
+    v = _to_double(vec_col)
+    bucket = None
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn(out, bucket.cast("int"))
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (or one at
+    hamming distance 1 when multiprobe). Exact cosine re-rank within the
+    candidate set. Output schema matches brute_force_topk."""
+    c = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col)
+                      .alias("_cv")),
+        "_cv", n_planes, dim, seed,
+    )
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), _to_double(vec_col)
+                       .alias("_qv")),
+        "_qv", n_planes, dim, seed,
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+                for p in range(n_planes)
+            ],
+        )
+        q = q.select("query_id", "_qv", F.explode(probes).alias("bucket"))
+    cand = c.join(F.broadcast(q), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select("query_id", "neighbor_id", "cos").distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,119 @@
+"""Text analysis for training-data curation: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure column expressions (whole-stage-codegen; zero Python), and every
+primitive is chosen to be reproducible in the DuckDB oracle:
+- hashes go through the portable md5-derived int64
+  (:func:`dedup.portable_word_hash`);
+- ratios round(…, 6) at the emit boundary.
+
+The quality ladder mirrors the reference's deduction scoring
+(`04_feature_extraction_experiment/feature_extractor.py:220-227`): start at
+1.0, −0.3 per violated predicate, floor at 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.operators.dedup import (
+    portable_word_hash,
+    words,
+)
+
+# tiny per-language marker lexicons (public stopwords); the heuristic is the
+# classic "most marker hits wins", deterministic tiebreak by list order
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def whitespace_token_count(text_col: str) -> Column:
+    return F.size(words(text_col))
+
+
+def bpe_ish_token_count(text_col: str) -> Column:
+    """Count of GPT-2-style pre-tokenizer matches (letters runs / digit runs /
+    single punctuation) — the standard cheap token estimate."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_ratio(text_col: str, markers: list[str] | None = None) -> Column:
+    markers = markers or LANG_MARKERS["en"]
+    lit_set = F.array(*[F.lit(m) for m in markers])
+    hits = F.size(F.filter(words(text_col), lambda w: F.array_contains(lit_set, w)))
+    return hits / whitespace_token_count(text_col)
+
+
+def distinct_word_ratio(text_col: str) -> Column:
+    """Low ratio = heavy repetition (boilerplate / spam signal)."""
+    return F.size(F.array_distinct(words(text_col))) / whitespace_token_count(text_col)
+
+
+def avg_word_len(text_col: str) -> Column:
+    wc = whitespace_token_count(text_col)
+    return (F.length(text_col) - (wc - 1)) / wc
+
+
+def quality_score(text_col: str) -> Column:
+    """Deduction ladder: −0.3 each for (too short, too repetitive, words too
+    long/short on average), floored at 0."""
+    wc = whitespace_token_count(text_col)
+    awl = avg_word_len(text_col)
+    dwr = distinct_word_ratio(text_col)
+    return F.greatest(
+        F.lit(1.0)
+        - F.when(wc < 20, F.lit(0.3)).otherwise(F.lit(0.0))
+        - F.when(dwr < 0.4, F.lit(0.3)).otherwise(F.lit(0.0))
+        - F.when((awl < 2.5) | (awl > 12.0), F.lit(0.3)).otherwise(F.lit(0.0)),
+        F.lit(0.0),
+    )
+
+
+def lang_id(text_col: str) -> Column:
+    """Marker-lexicon language ID: lang with most stopword hits; ties and
+    zero-hit docs resolve to the first lang in LANG_MARKERS order with the
+    max count ('und' only when the text has no words at all)."""
+    w = words(text_col)
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lit_set = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(w, lambda x: F.array_contains(lit_set, x)))
+        hit_cols.append((lang, hits))
+    best = None
+    best_lang = F.lit("und")
+    # reverse order so earlier langs win ties via >= (fold builds a when-chain)
+    for lang, hits in reversed(hit_cols):
+        if best is None:
+            best = hits
+            best_lang = F.when(hits > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            best_lang = F.when((hits > 0) & (hits >= best), F.lit(lang)).otherwise(
+                best_lang
+            )
+            best = F.greatest(hits, best)
+    return best_lang
+
+
+def doc_fingerprint(text_col: str) -> Column:
+    """Whole-document fingerprint: md5 of the raw text."""
+    return F.md5(F.col(text_col))
+
+
+def min_shingle_fingerprint(text_col: str, n: int = 3) -> Column:
+    """Winnowing-lite content fingerprint: the minimum portable hash over the
+    doc's word n-gram shingles — stable under local edits elsewhere in the
+    doc (the 1-perm MinHash)."""
+    w = words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.array_min(F.transform(grams, portable_word_hash))

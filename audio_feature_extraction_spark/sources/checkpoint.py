@@ -1,0 +1,162 @@
+"""Snapshot checkpoints + per-partition lineage manifests + anti-join resume.
+
+Iceberg-style semantics on a plain-Parquet layout (SURVEY.md §7.4 risk 4: the
+iceberg-spark runtime jar is not in this sandbox, so the table format is
+emulated with an identical API — swapping the IO layer for
+``df.writeTo(tbl).append()`` + snapshot metadata is a drop-in).
+
+Layout under ``base_path``:
+
+    data/snapshot_id=N/*.parquet       -- the rows of snapshot N
+    manifest/snapshot_id=N/*.parquet   -- per-partition lineage rows
+
+A snapshot is **committed** iff its manifest directory exists — the manifest
+is always written *after* the data (write-ordering commit protocol, the
+generalization of the reference's flush-every-10-pairs checkpointing,
+`05_dtw_alignment_experiment/dtw_alignment.py:1323-1328`).
+
+Manifest row = (partition_id, rows, payload, checksum, watermark_ts):
+- ``checksum`` is an order-independent sum of per-row xxhash64 over the key
+  columns, so it is invariant to partitioning/shuffle order;
+- ``watermark_ts`` is the max event time in the partition — at cluster scale
+  the resume planner prunes whole snapshots by watermark before anti-joining.
+
+Resume = anti-join the input's keys against committed keys
+(:meth:`CheckpointTable.remaining`); a killed run recommits only missing keys
+and the final table is byte-identical (tested in tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointTable:
+    def __init__(self, base_path: str):
+        self.base = base_path
+        self.data_dir = os.path.join(base_path, "data")
+        self.manifest_dir = os.path.join(base_path, "manifest")
+
+    # ------------------------------------------------------------- metadata
+
+    def _ids(self, root: str) -> list[int]:
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for d in os.listdir(root):
+            if d.startswith("snapshot_id="):
+                out.append(int(d.split("=", 1)[1]))
+        return sorted(out)
+
+    def committed_snapshots(self) -> list[int]:
+        return self._ids(self.manifest_dir)
+
+    def next_snapshot_id(self) -> int:
+        # consider uncommitted (partially written) data dirs too, so a crashed
+        # write never collides with the next attempt
+        seen = set(self._ids(self.manifest_dir)) | set(self._ids(self.data_dir))
+        return (max(seen) + 1) if seen else 0
+
+    def _snap_path(self, root: str, sid: int) -> str:
+        return os.path.join(root, f"snapshot_id={sid}")
+
+    # ------------------------------------------------------------- write
+
+    def write_snapshot(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        payload_col: str | None = None,
+        watermark_col: str | None = None,
+    ) -> int:
+        """Append one snapshot; returns its id. Data first, manifest last."""
+        spark = df.sparkSession
+        sid = self.next_snapshot_id()
+        data_path = self._snap_path(self.data_dir, sid)
+        df.write.mode("overwrite").parquet(data_path)
+
+        # lineage from the files as committed (re-read, not the input plan)
+        written = spark.read.parquet(data_path)
+        payload = (
+            F.sum(F.col(payload_col).cast("long"))
+            if payload_col
+            else F.lit(None).cast("long")
+        )
+        watermark = (
+            F.max(F.col(watermark_col)).cast("string")
+            if watermark_col
+            else F.lit(None).cast("string")
+        )
+        manifest = written.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(
+            F.count(F.lit(1)).alias("rows"),
+            payload.alias("payload"),
+            F.sum(F.xxhash64(*key_cols)).alias("checksum"),
+            watermark.alias("watermark_ts"),
+        )
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            self._snap_path(self.manifest_dir, sid)
+        )
+        return sid
+
+    def abort_uncommitted(self) -> list[int]:
+        """Drop data dirs that have no manifest (crash leftovers)."""
+        committed = set(self._ids(self.manifest_dir))
+        dropped = []
+        for sid in self._ids(self.data_dir):
+            if sid not in committed:
+                shutil.rmtree(self._snap_path(self.data_dir, sid))
+                dropped.append(sid)
+        return dropped
+
+    # ------------------------------------------------------------- read
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Union of all committed snapshots (uncommitted data is invisible)."""
+        ids = self.committed_snapshots()
+        if not ids:
+            raise FileNotFoundError(f"no committed snapshots under {self.base}")
+        paths = [self._snap_path(self.data_dir, i) for i in ids]
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
+    def read_manifest(self, spark: SparkSession) -> DataFrame:
+        ids = self.committed_snapshots()
+        if not ids:
+            raise FileNotFoundError(f"no committed snapshots under {self.base}")
+        paths = [self._snap_path(self.manifest_dir, i) for i in ids]
+        return spark.read.option("basePath", self.manifest_dir).parquet(*paths)
+
+    # ------------------------------------------------------------- resume
+
+    def remaining(self, input_df: DataFrame, key_cols: list[str]) -> DataFrame:
+        """Input rows whose keys are not yet in any committed snapshot."""
+        try:
+            done = self.read(input_df.sparkSession).select(*key_cols).distinct()
+        except FileNotFoundError:
+            return input_df
+        return input_df.join(done, on=key_cols, how="left_anti")
+
+    def verify(self, spark: SparkSession, key_cols: list[str]) -> DataFrame:
+        """Recompute lineage from the data and diff against the manifest —
+        returns snapshots that disagree on rows or checksum (empty = intact).
+        The checksum is an order-independent sum, so this is partitioning-
+        invariant."""
+        data = self.read(spark)
+        manifest = self.read_manifest(spark)
+        recomputed = data.groupBy("snapshot_id").agg(
+            F.count(F.lit(1)).alias("rows_actual"),
+            F.sum(F.xxhash64(*key_cols)).alias("checksum_actual"),
+        )
+        recorded = manifest.groupBy("snapshot_id").agg(
+            F.sum("rows").alias("rows_recorded"),
+            F.sum("checksum").alias("checksum_recorded"),
+        )
+        return recomputed.join(recorded, "snapshot_id").where(
+            (F.col("rows_actual") != F.col("rows_recorded"))
+            | (F.col("checksum_actual") != F.col("checksum_recorded"))
+        )

@@ -1,0 +1,131 @@
+"""Dedup + text operators vs single-process python oracles on the driver
+testdata (documents @ sf0.001, which contains planted near-duplicates)."""
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.operators import dedup as D
+from audio_feature_extraction_spark.operators import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+def _shingle_set(text: str, n: int = 3) -> set:
+    w = text.split(" ")
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _jaccard_pairs(pdf: pd.DataFrame, threshold: float, n: int = 3):
+    sets = {r.doc_id: _shingle_set(r.text, n) for r in pdf.itertuples()}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if j >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_exact_dedup(spark, docs, docs_pdf):
+    got = D.exact_dedup(docs, "doc_id").toPandas()
+    keys = docs_pdf.text.map(lambda t: " ".join(sorted(set(t.split(" ")))))
+    want = (
+        pd.DataFrame({"k": keys, "doc_id": docs_pdf.doc_id})
+        .groupby("k")
+        .agg(survivor_id=("doc_id", "min"), n_dupes=("doc_id", "size"))
+        .reset_index()
+    )
+    assert len(got) == len(want)
+    g = got.sort_values("dedup_key").reset_index(drop=True)
+    w = want.sort_values("k").reset_index(drop=True)
+    assert (g.survivor_id.to_numpy() == w.survivor_id.to_numpy()).all()
+    assert (g.n_dupes.to_numpy() == w.n_dupes.to_numpy()).all()
+
+
+def test_ngram_jaccard_pairs(docs, docs_pdf):
+    got = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).toPandas()
+    want = _jaccard_pairs(docs_pdf, 0.8)
+    assert set(zip(got.id_a, got.id_b)) == want
+    assert len(want) > 0  # the testdata plants near-dups; don't pass vacuously
+
+
+def test_minhash_lsh_matches_exact(docs, docs_pdf):
+    got = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).toPandas()
+    want = _jaccard_pairs(docs_pdf, 0.8)
+    assert set(zip(got.id_a, got.id_b)) == want
+
+
+def test_simhash_pairs_recall(docs, docs_pdf):
+    """Banded candidates must equal brute-force hamming pairs (pigeonhole
+    recall guarantee for max_hamming < bands)."""
+    got = D.simhash_pairs(docs, "doc_id", "text", max_hamming=6).toPandas()
+    sig = D.simhash(docs, "doc_id", "text").toPandas()
+    sigs = dict(zip(sig.doc_id, sig.simhash))
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(int(sigs[a]) ^ int(sigs[b])).count("1") <= 6
+    }
+    assert set(zip(got.id_a, got.id_b)) == want
+    # planted near-dups should be caught by simhash too
+    assert len(want) > 0
+
+
+def test_simhash_portable_hash(spark):
+    """Spark signature bit recipe matches a pure-python md5 recomputation."""
+    txt = "the fast key order sort"
+    df = spark.createDataFrame([("d0", txt)], "doc_id string, text string")
+    got = D.simhash(df, "doc_id", "text").collect()[0].simhash
+    sums = np.zeros(D.SIMHASH_BITS)
+    for w in txt.split(" "):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        for i in range(D.SIMHASH_BITS):
+            sums[i] += 1 if (h >> i) & 1 else -1
+    want = sum(1 << i for i in range(D.SIMHASH_BITS) if sums[i] > 0)
+    assert got == want
+
+
+def test_token_counts_and_quality(docs, docs_pdf):
+    got = docs.select(
+        "doc_id",
+        T.whitespace_token_count("text").alias("wc"),
+        T.bpe_ish_token_count("text").alias("bc"),
+        F.round(T.quality_score("text"), 6).alias("q"),
+        T.lang_id("text").alias("lang_pred"),
+        T.doc_fingerprint("text").alias("fp"),
+        T.min_shingle_fingerprint("text").alias("msf"),
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pdf = docs_pdf.sort_values("doc_id").reset_index(drop=True)
+    assert (got.wc.to_numpy() == pdf.text.map(lambda t: len(t.split(" "))).to_numpy()).all()
+    import re
+
+    pat = re.compile(T.BPE_ISH_PATTERN)
+    assert (got.bc.to_numpy() == pdf.text.map(lambda t: len(pat.findall(t))).to_numpy()).all()
+    assert got.q.between(0.0, 1.0).all()
+    # vocabulary is English-y; the marker heuristic must be deterministic
+    assert set(got.lang_pred) <= set(list(T.LANG_MARKERS) + ["und"])
+    assert (got.fp == pdf.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())).all()
+    want_msf = pdf.text.map(
+        lambda t: min(
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            for s in _shingle_set(t)
+        )
+    )
+    assert (got.msf.to_numpy() == want_msf.to_numpy()).all()

@@ -1,0 +1,117 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.operators import multimodal as M
+from audio_feature_extraction_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_pdf(emb):
+    return emb.toPandas()
+
+
+def _numpy_topk(pdf, query_ids, k):
+    mat = np.stack(pdf.embedding.map(np.asarray).to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qi in query_ids:
+        qrow = normed[ids == qi][0]
+        sims = normed @ qrow
+        order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+        out[qi] = [int(i) for d, i in order if i != qi][:k]
+    return out
+
+
+def test_brute_force_topk(emb, emb_pdf):
+    queries = emb.where(F.col("vec_id") < 5)
+    got = S.brute_force_topk(emb, queries, k=10).toPandas()
+    want = _numpy_topk(emb_pdf, range(5), 10)
+    for qi, grp in got.groupby("query_id"):
+        ordered = grp.sort_values("rank").neighbor_id.tolist()
+        assert ordered == want[qi], qi
+    assert got.cos.between(-1.0, 1.0).all()
+
+
+def test_lsh_topk_internal_consistency(emb, emb_pdf):
+    """On uniformly-random embeddings LSH recall is data-limited; the
+    contract that must always hold: within the candidate set it returns, the
+    ranking equals the exact cosine ordering."""
+    queries = emb.where(F.col("vec_id") < 5)
+    got = S.lsh_bucketed_topk(emb, queries, k=10).toPandas()
+    assert set(got.columns) == {"query_id", "neighbor_id", "rank", "cos"}
+    mat = np.stack(emb_pdf.embedding.map(np.asarray).to_numpy()).astype(np.float64)
+    ids = emb_pdf.vec_id.to_numpy()
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi, grp in got.groupby("query_id"):
+        qrow = normed[ids == qi][0]
+        grp = grp.sort_values("rank")
+        sims = [float(normed[ids == n][0] @ qrow) for n in grp.neighbor_id]
+        resorted = sorted(
+            zip(sims, grp.neighbor_id), key=lambda t: (-round(t[0], 6), t[1])
+        )
+        assert [n for _, n in resorted] == grp.neighbor_id.tolist()
+
+
+def test_lsh_topk_finds_planted_neighbors(spark):
+    """Near-identical vectors land in the same (or hamming-1) bucket and must
+    be returned at rank 1 — the regime LSH exists for."""
+    rng = np.random.default_rng(123)
+    base = rng.normal(0, 1, (5, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        near = v + rng.normal(0, 0.01, 64)  # cos ≈ 0.99995
+        rows.append((100 + i, [float(x) for x in near], 0))
+    for j in range(300):  # background noise vectors
+        rows.append((1000 + j, [float(x) for x in rng.normal(0, 1, 64)], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = df.where(F.col("vec_id") < 5)
+    got = S.lsh_bucketed_topk(df, queries, k=3).toPandas()
+    for qi in range(5):
+        g1 = got[(got.query_id == qi) & (got["rank"] == 1)]
+        assert len(g1) == 1 and int(g1.neighbor_id.iloc[0]) == 100 + qi
+
+
+def test_media_decode_plumbing(spark):
+    rows = [(f"d{i}", bytes([i] * (i + 1))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    df = M.with_media_meta(df)
+    meta = df.select("media_meta.*").toPandas()
+    assert list(meta.columns) == M.MEDIA_META_COLS
+    assert (meta.n_bytes.to_numpy() == np.arange(1, 21)).all()
+
+    got = M.extract_media_features(df, fake=True).toPandas()
+    assert len(got) == 20
+    feats = np.stack(got.media_features.map(np.asarray).to_numpy())
+    assert feats.shape == (20, M.FEATURE_DIM)
+    assert feats.dtype == np.float32
+
+    # deterministic + partition-invariant
+    got2 = M.extract_media_features(df.repartition(7), fake=True).toPandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = got2.sort_values("doc_id").reset_index(drop=True)
+    for x, y in zip(a.media_features, b.media_features):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_media_decode_stub_raises(spark):
+    df = spark.createDataFrame([("d0", b"abc")], "doc_id string, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        M.extract_media_features(df, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([("d0", 25), ("d1", 1)], "doc_id string, n_frames int")
+    got = M.frame_sample_plan(df, every=10).toPandas()
+    d0 = got[got.doc_id == "d0"].frame_idx.tolist()
+    assert d0 == [0, 10, 20]
+    assert got[got.doc_id == "d1"].frame_idx.tolist() == [0]
