@@ -66,28 +66,18 @@ def _uw():
 # --------------------------------------------------------------------------
 
 
+from audio_feature_extraction_spark.plans.from_events import (  # noqa: E402
+    reference_from_events,
+    sequences_from_events,
+)
+
+
 def _sequences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _ev(spark, sf_dir)
-    n_tok = (F.pmod(F.col("event_id"), F.lit(31)) + F.lit(2)).cast("int")
-    return ev.select(
-        F.col("user_id").cast("string").alias("doc_id"),
-        F.col("event_id").cast("int").alias("seq"),
-        F.sequence(F.lit(1), n_tok).cast("array<int>").alias("tokens"),
-        n_tok.alias("n_tok"),
-        F.concat(F.lit("src"), F.pmod(F.col("user_id"), F.lit(4))).alias("source"),
-        "ts",
-        F.col("v").alias("value"),
-    )
+    return sequences_from_events(_ev(spark, sf_dir))
 
 
 def _reference_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
-    deduped = ev.groupBy(
-        F.concat(F.lit("src"), F.pmod(F.col("user_id"), F.lit(4))).alias("source"),
-        F.col("user_id").cast("string").alias("doc_id"),
-        "ts",
-    ).agg(F.max("value").alias("r0"))
-    return deduped.select("source", "doc_id", "ts", F.array("r0").alias("ref_vec"))
+    return reference_from_events(_t(spark, sf_dir, "events"))
 
 
 def _pipeline(spark: SparkSession, sf_dir: str, strategy: str = "window") -> DataFrame:
@@ -962,6 +952,434 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# projection / trim / normalization suite (P3/P4/P7, A9/A10, dtw robust-norm)
+# --------------------------------------------------------------------------
+
+from audio_feature_extraction_spark.operators import stats as _ST  # noqa: E402
+from audio_feature_extraction_spark.operators.rangejoin import (  # noqa: E402
+    band_join_stats,
+)
+from audio_feature_extraction_spark.operators.windows import (  # noqa: E402
+    trim_to_active,
+)
+
+TRIM_THRESH = 170.0
+
+
+def _q_trim_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-trim (P3): keep rows between the first and last loud row per
+    user (librosa.effects.trim analog, core/feature_extractor.py:72)."""
+    ev = _t(spark, sf_dir, "events")
+    out = trim_to_active(
+        ev, keys=["user_id"], ts="ts", active=F.col("value") >= TRIM_THRESH
+    )
+    return out.select("event_id", "user_id", "ts")
+
+
+_SQL_TRIM_ACTIVE = f"""
+WITH b AS (SELECT event_id, user_id, ts, value, epoch_us(ts) AS us FROM events),
+m AS (SELECT *,
+    MIN(CASE WHEN value >= {TRIM_THRESH} THEN us END)
+        OVER (PARTITION BY user_id) AS lo,
+    MAX(CASE WHEN value >= {TRIM_THRESH} THEN us END)
+        OVER (PARTITION BY user_id) AS hi
+  FROM b)
+SELECT event_id, user_id, ts FROM m
+WHERE lo IS NOT NULL AND us BETWEEN lo AND hi
+"""
+
+
+def _q_gate_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-gate + clip projection (P4/P7): clipped value on active rows,
+    zero elsewhere (feature_extraction.py:143-183, :125-139)."""
+    ev = _t(spark, sf_dir, "events")
+    is_active = (F.col("event_type") != "error") & (F.col("value") > 50)
+    return ev.select(
+        "event_id",
+        F.round(_ST.clip_gate(F.col("value"), is_active, 20.0, 180.0), 6).alias(
+            "gated"
+        ),
+    )
+
+
+_SQL_GATE_CLIP = """
+SELECT event_id,
+  ROUND(CASE WHEN event_type != 'error' AND value > 50
+        THEN LEAST(GREATEST(value, 20.0), 180.0) ELSE 0.0 END, 6) AS gated
+FROM events
+"""
+
+
+def _q_robust_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-clip robust normalization per group (dtw_alignment.py:388-411)."""
+    ev = _t(spark, sf_dir, "events")
+    out = _ST.robust_normalize(ev, ["event_type"], "value", out="normalized")
+    return out.select("event_id", F.round("normalized", 6).alias("normalized"))
+
+
+_SQL_ROBUST_NORM = """
+WITH s AS (
+  SELECT event_type,
+    QUANTILE_CONT(value, 0.25) AS q25,
+    QUANTILE_CONT(value, 0.50) AS q50,
+    QUANTILE_CONT(value, 0.75) AS q75
+  FROM events GROUP BY 1)
+SELECT event_id,
+  ROUND((LEAST(GREATEST(value, q25 - 1.5 * (q75 - q25)),
+               q75 + 1.5 * (q75 - q25)) - q50)
+        / ((q75 - q25) + 1e-8), 6) AS normalized
+FROM events JOIN s USING (event_type)
+"""
+
+
+def _q_snr_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived SNR/CV/stability aggregates (A9,
+    04_…/feature_extractor.py:370-374, feature_extraction.py:316-324)."""
+    ev = _t(spark, sf_dir, "events")
+    out = _ST.snr_metrics(ev, ["event_type"], "value", noise_q=0.10)
+    return out.select(
+        "event_type",
+        "n",
+        F.round("snr_db", 6).alias("snr_db"),
+        F.round("cv", 6).alias("cv"),
+        F.round("stability", 6).alias("stability"),
+    )
+
+
+# ln(x)/ln(10) (NOT the C log10) so the double math matches Spark's
+# Logarithm(base, expr) bit-for-bit
+_SQL_SNR_STABILITY = """
+SELECT event_type, COUNT(*) AS n,
+  ROUND(20.0 * (LN(AVG(value) / (QUANTILE_CONT(value, 0.10) + 1e-8))
+                / LN(10.0)), 6) AS snr_db,
+  ROUND(STDDEV_SAMP(value) / (AVG(value) + 1e-8), 6) AS cv,
+  ROUND(1.0 - STDDEV_SAMP(value) / (AVG(ABS(value)) + 1e-8), 6) AS stability
+FROM events GROUP BY event_type
+"""
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width distribution analysis (A10, evaluation/evaluator.py:149-206)."""
+    ev = _t(spark, sf_dir, "events")
+    return _ST.histogram_counts(
+        ev, "value", lo=0.0, hi=200.0, nbins=20, group_cols=["event_type"]
+    )
+
+
+_SQL_VALUE_HISTOGRAM = """
+SELECT event_type,
+  LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS INT), 0), 19) AS bucket,
+  COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key grouped reporting with subtotals (A6,
+    dtw_alignment.py:1519-1552) — ROLLUP grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("grp"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "grp", "n", "total_price")
+    )
+
+
+_SQL_ROLLUP_REPORT = """
+SELECT o_orderpriority, o_orderstatus,
+  GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS grp,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# set operations (U1-U3)
+# --------------------------------------------------------------------------
+
+
+def _q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "view").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+_SQL_UNION_DISTINCT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+
+def _q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+_SQL_INTERSECT_USERS = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+# --------------------------------------------------------------------------
+# range/banded join (J5) + event-time frames (W1)
+# --------------------------------------------------------------------------
+
+BAND_HI_SEC = 86_400.0
+BAND_HI_US = int(BAND_HI_SEC * 1_000_000)
+
+
+def _q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-band join (J5, dtw_alignment.py:885-928): per click, stats
+    over same-user purchases in the last 24 h. DECIMAL sum for exactness."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,6)").alias("pval")
+    )
+    out = band_join_stats(
+        left, right, on=["user_id"], lo_sec=0.0, hi_sec=BAND_HI_SEC,
+        value_col="pval",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_in_band",
+        F.col("band_max").cast("double").alias("band_max"),
+        F.col("band_sum").cast("double").alias("band_sum"),
+    )
+
+
+_SQL_BAND_JOIN = f"""
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, epoch_us(ts) AS us,
+                  CAST(value AS DECIMAL(18,6)) AS pval
+           FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+  COUNT(r.us) AS n_in_band,
+  CAST(MAX(r.pval) AS DOUBLE) AS band_max,
+  CAST(SUM(r.pval) AS DOUBLE) AS band_sum
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND epoch_us(l.ts) - r.us BETWEEN 0 AND {BAND_HI_US}
+GROUP BY l.event_id, l.user_id
+"""
+
+TUMBLE_US = 21_600_000_000  # 6 h
+SLIDE_US = 10_800_000_000  # 3 h
+
+
+def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time frames (W1, feature_extraction.py:35-45):
+    6 h windows per event_type via the native window() operator."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "avg_value")
+    )
+
+
+_SQL_TUMBLING_COUNTS = f"""
+SELECT make_timestamp((epoch_us(ts) // {TUMBLE_US}) * {TUMBLE_US}) AS win_start,
+       event_type, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding frames (W1): 6 h window, 3 h hop — every event lands in 2
+    windows (librosa.util.frame analog, 04_…/process_audio.py:104)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
+_SQL_SLIDING_COUNTS = f"""
+SELECT make_timestamp((epoch_us(ts) // {SLIDE_US}) * {SLIDE_US}
+                      - j * {SLIDE_US}) AS win_start,
+       event_type, COUNT(*) AS n
+FROM events, unnest([0, 1]) AS t(j)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# token-array ops (O2 + bit-identity over the input_hint schema)
+# --------------------------------------------------------------------------
+
+
+def _q_token_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence truncation + array integrity (O2,
+    feature_extraction_for_student.py:27): head slice, last element, exact
+    int sum — all computed from the actual tokens array so any corruption
+    in the array path shows up against the closed-form oracle."""
+    seq = _sequences_from_events(spark, sf_dir)
+    return seq.select(
+        "doc_id",
+        "seq",
+        "n_tok",
+        F.concat_ws(
+            ",", F.slice("tokens", 1, F.least(F.lit(8), F.col("n_tok")))
+        ).alias("head_csv"),
+        F.element_at("tokens", -1).alias("tok_last"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("tok_sum"),
+    )
+
+
+_SQL_TOKEN_SLICE = """
+WITH b AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(event_id AS INT) AS seq,
+         CAST((event_id % 31) + 2 AS INT) AS n_tok
+  FROM events)
+SELECT doc_id, seq, n_tok,
+  array_to_string(range(1, LEAST(8, n_tok) + 1), ',') AS head_csv,
+  n_tok AS tok_last,
+  CAST(n_tok AS BIGINT) * (n_tok + 1) // 2 AS tok_sum
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (the embedding analog of minhash-LSH)
+# --------------------------------------------------------------------------
+
+NEARDUP_COS = 0.9
+NEARDUP_PLANT = 50  # planted dupes: vec_id < 50 rescaled by 1.001, id +100000
+
+
+def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw embeddings are random (max pairwise cos ≈ 0.49), so plant
+    deterministic near-duplicates: scaled copies (cos = 1.0) of the first
+    NEARDUP_PLANT vectors. The operator must recover exactly those pairs."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") < NEARDUP_PLANT).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    return emb.unionByName(dupes)
+
+
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _S.cosine_neardup_pairs(
+        _emb_with_planted(spark, sf_dir), threshold=NEARDUP_COS
+    )
+
+
+def _sql_emb_neardup() -> str:
+    """DuckDB twin replicates the hyperplane bucketing exactly (same plane
+    literals, same sequential double math), so the check is exact."""
+    planes = _S._plane_literals(8, 64, 7)
+    bits = " + ".join(
+        "(CASE WHEN list_sum(list_transform(list_zip(e, ["
+        + ", ".join(repr(x) for x in plane)
+        + "]), x -> x[1] * x[2])) > 0 THEN "
+        + str(1 << p)
+        + " ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+v AS (SELECT vec_id, e FROM v0
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(e, x -> x * 1.001)
+      FROM v0 WHERE vec_id < {NEARDUP_PLANT}),
+sig AS (SELECT vec_id, e, {bits} AS bucket FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))
+    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+     * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cos
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))
+    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+     * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= {NEARDUP_COS}
+"""
+
+
+# --------------------------------------------------------------------------
+# n_tok-aware bin-packing as an observable assignment (SURVEY.md §4.2)
+# --------------------------------------------------------------------------
+
+from audio_feature_extraction_spark.operators.binpack import (  # noqa: E402
+    with_bin_id,
+)
+
+BIN_CAP = 20_000
+
+
+def _q_binpack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = with_bin_id(
+        d,
+        payload_col="n_chars",
+        order_cols=["doc_id"],
+        group_cols=["lang"],
+        target_payload_per_bin=BIN_CAP,
+        mix=False,
+        out="bin_id",
+    )
+    return out.select("doc_id", "lang", "bin_id")
+
+
+_SQL_BINPACK_ASSIGN = f"""
+SELECT doc_id, lang,
+  CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - 1)
+             / {BIN_CAP}) AS INT) AS bin_id
+FROM documents
+"""
+
+
+def _q_delta9_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact centered librosa-style delta (W2 non-causal variant)."""
+    ev = _t(spark, sf_dir, "events")
+    w = _uw()
+    return ev.select(
+        "event_id", F.round(W.delta_centered("value", w, half=4), 6).alias("d9c")
+    )
+
+
+def _duck_edge_lead(col: str, k: int) -> str:
+    return (
+        f"COALESCE(LEAD({col}, {k}) OVER ({_WU}), "
+        f"LAST_VALUE({col}) OVER ({_WU} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"
+    )
+
+
+_SQL_DELTA9_CENTERED = f"""
+SELECT event_id,
+  ROUND((0.0
+    + 1.0 * ({_duck_edge_lead("value", 1)} - {_duck_edge_lag("value", 1)})
+    + 2.0 * ({_duck_edge_lead("value", 2)} - {_duck_edge_lag("value", 2)})
+    + 3.0 * ({_duck_edge_lead("value", 3)} - {_duck_edge_lag("value", 3)})
+    + 4.0 * ({_duck_edge_lead("value", 4)} - {_duck_edge_lag("value", 4)}))
+    / 60.0, 6) AS d9c
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -1003,6 +1421,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_lsh_topk,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        "trim_active": _q_trim_active,
+        "gate_clip": _q_gate_clip,
+        "robust_norm": _q_robust_norm,
+        "snr_stability": _q_snr_stability,
+        "value_histogram": _q_value_histogram,
+        "rollup_report": _q_rollup_report,
+        "union_distinct": _q_union_distinct,
+        "intersect_users": _q_intersect_users,
+        "band_join": _q_band_join,
+        "tumbling_counts": _q_tumbling_counts,
+        "sliding_counts": _q_sliding_counts,
+        "token_slice": _q_token_slice,
+        "emb_neardup": _q_emb_neardup,
+        "binpack_assign": _q_binpack_assign,
+        "delta9_centered": _q_delta9_centered,
     }
 
 
@@ -1041,6 +1474,21 @@ def oracle_sql() -> dict[str, str]:
         "text_features": _sql_text_features(),
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "frame_sample": _SQL_FRAME_SAMPLE,
+        "trim_active": _SQL_TRIM_ACTIVE,
+        "gate_clip": _SQL_GATE_CLIP,
+        "robust_norm": _SQL_ROBUST_NORM,
+        "snr_stability": _SQL_SNR_STABILITY,
+        "value_histogram": _SQL_VALUE_HISTOGRAM,
+        "rollup_report": _SQL_ROLLUP_REPORT,
+        "union_distinct": _SQL_UNION_DISTINCT,
+        "intersect_users": _SQL_INTERSECT_USERS,
+        "band_join": _SQL_BAND_JOIN,
+        "tumbling_counts": _SQL_TUMBLING_COUNTS,
+        "sliding_counts": _SQL_SLIDING_COUNTS,
+        "token_slice": _SQL_TOKEN_SLICE,
+        "emb_neardup": _sql_emb_neardup(),
+        "binpack_assign": _SQL_BINPACK_ASSIGN,
+        "delta9_centered": _SQL_DELTA9_CENTERED,
         # ann_lsh_topk: probabilistic recall — rows-only check
         # media_features: mapInPandas decode plumbing — rows-only check
     }

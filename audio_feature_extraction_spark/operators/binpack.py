@@ -41,6 +41,7 @@ def with_bin_id(
     target_payload_per_bin: int = 4_000_000,
     salt_groups: int = 1,
     out: str = BIN_COL,
+    mix: bool = True,
 ) -> DataFrame:
     """Assign a payload-balanced bin id.
 
@@ -74,8 +75,11 @@ def with_bin_id(
         df = df.withColumn(
             out, F.col(out) * F.lit(salt_groups) + F.col("__scan_salt")
         ).drop("__scan_salt")
-    if group_cols:
+    if group_cols and mix:
         # bins are per-group; make the id globally unique via a hash mix
+        # (mix=False keeps the per-group local bin index — used where the
+        # assignment itself is the observable output, e.g. the oracle-gated
+        # binpack query)
         df = df.withColumn(
             out,
             F.pmod(

@@ -97,6 +97,43 @@ def with_lsh_bucket(
     return df.withColumn(out, bucket.cast("int"))
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the embedding analog of
+    minhash-LSH text dedup): bucket by random-hyperplane signature, generate
+    candidate pairs ONLY within a bucket (self-join on the bucket id — the
+    shuffle is per-bucket, never the full cross product), then exact-cosine
+    verify. Returns (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
+
+    Recall note: a pair is found iff no hyperplane separates it; at
+    cos >= 0.9 and 8 planes the per-plane split probability is
+    arccos(0.9)/pi ≈ 0.14, so expected recall ≈ 0.86^... — raise recall by
+    unioning several plane seeds (``seed`` variants) at scale. The DuckDB
+    oracle replicates the same bucketing, making the check exact."""
+    v = with_lsh_bucket(
+        df.select(F.col(id_col).alias("id"), _to_double(vec_col).alias("_v")),
+        "_v", n_planes, dim, seed,
+    )
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"), "bucket"
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+    return scored.where(F.col("cos") >= F.lit(threshold)).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -182,6 +182,32 @@ def sign_change_rate(col: str, w: WindowSpec, n: int) -> Column:
     return F.avg(F.coalesce(flip, F.lit(0.0))).over(_trailing(w, n))
 
 
+def trim_to_active(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    active: Column,
+) -> DataFrame:
+    """Silence-trim analog (P3, `core/feature_extractor.py:72`,
+    `04_…/feature_extractor.py:261`): per entity, drop leading/trailing rows
+    outside the first..last row where ``active`` holds (interior inactive rows
+    are kept, exactly like librosa.effects.trim keeps interior silence).
+
+    One unordered full-frame window per key — no sort needed, the min/max of
+    the active timestamps is frame-order independent."""
+    from audio_feature_extraction_spark.operators.timeutil import ts_micros
+
+    w_full = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    us = ts_micros(ts)
+    lo = F.min(F.when(active, us)).over(w_full)
+    hi = F.max(F.when(active, us)).over(w_full)
+    return df.withColumn("__lo", lo).withColumn("__hi", hi).where(
+        F.col("__lo").isNotNull() & us.between(F.col("__lo"), F.col("__hi"))
+    ).drop("__lo", "__hi")
+
+
 def top1_per_group(df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
     """argmax/argmin per group via row_number (W11/O3, dtw_alignment.py:247,1048).
     order_cols must contain a deterministic tiebreaker."""
