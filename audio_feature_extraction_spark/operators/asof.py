@@ -122,10 +122,20 @@ def asof_join(
     salt_buckets: int = 8,
     salt_on: list[str] | None = None,
     num_partitions: int | None = None,
+    cluster_on: list[str] | None = None,
 ) -> DataFrame:
     """As-of join; returns all left columns + ``matched_ts`` + right payload
     columns (NULL when no match within tolerance — the left-outer /
-    missing-partner case, `dtw_alignment.py:1443-1472`)."""
+    missing-partner case, `dtw_alignment.py:1443-1472`).
+
+    ``cluster_on``: optional strict subset/prefix of ``on`` to hash-partition
+    the union by (strategy="window" only). Hash partitioning on a subset of
+    the window keys still satisfies the window's ClusteredDistribution, so
+    Spark plans sort-only (no extra exchange) — AND every downstream window
+    keyed by that subset (e.g. per-doc_id feature windows) reuses the same
+    partitioning with zero further shuffles. This is how the flagship
+    pipeline runs end-to-end on ONE exchange of the fat token rows.
+    """
     assert direction in ("backward", "forward")
     right_ts = right_ts or left_ts
     right_payload = [c for c in right.columns if c not in set(on) | {right_ts}]
@@ -148,6 +158,13 @@ def asof_join(
         )
         u = l_salted.unionByName(r_salted)
         part_keys = part_keys + [_SALT]
+
+    if cluster_on and strategy == "window":
+        assert set(cluster_on) <= set(on), "cluster_on must be a subset of the equi keys"
+        nparts = num_partitions or int(
+            u.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        u = u.repartition(nparts, *cluster_on)
 
     if direction == "backward":
         w = (
@@ -201,20 +218,28 @@ def _range_merge(
     rcols = [f"__r_{c}" for c in right_payload] + ["__r_ts"]
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one partition may hold several keys but arrives fully sorted; a
-        # grouped ffill is the sorted-merge, fully vectorized
+        # one partition may hold several keys but arrives fully sorted, so
+        # groups are contiguous: a global ffill masked at key boundaries is
+        # the sorted-merge — O(n) vectorized, no groupby over K groups
         parts = list(batches)
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
         if len(pdf) == 0:
             return
-        g = pdf.groupby(list(on), sort=False, dropna=False)
+        keys = pdf[list(on)]
+        gid = keys.ne(keys.shift()).any(axis=1).cumsum()
         for c in rcols:
-            filled = g[c].ffill()
+            # gid of the row that supplied each carried-forward value; a value
+            # must not cross its key boundary
+            src_gid = gid.where(pdf[c].notna()).ffill()
+            filled = pdf[c].ffill()
+            same = src_gid.eq(gid)
             if pdf[c].dtype == object:
-                # leading unmatched rows: NaN → None so Arrow maps to SQL NULL
-                filled = filled.where(filled.notna(), None)
+                # unmatched rows: None so Arrow maps to SQL NULL
+                filled = filled.where(same & filled.notna(), None)
+            else:
+                filled = filled.where(same)
             pdf[f"__m_{c}"] = filled
         yield pdf
 

@@ -10,10 +10,13 @@ For every row of the input sequences table:
 Must match ``oracle.oracle_features`` (np.allclose on feature_vector,
 bit-identical int32 tokens) — see tests/test_pipeline_oracle.py.
 
-Physical shape: ONE hash exchange on doc_id feeds every window expression
-(they share the same Window spec), plus the as-of union-window exchange on
-(source, doc_id). No pandas UDF anywhere — the whole plan is JVM window exec +
-projections, whole-stage-codegen eligible.
+Physical shape: ONE hash exchange total. The as-of runs first with its union
+clustered on hash(doc_id) — a strict subset of the as-of window keys
+(source, doc_id), which still satisfies the window's ClusteredDistribution —
+and every subsequent feature window partitions by doc_id, so Spark reuses the
+same partitioning and plans sort-only for the rest of the pipeline. The fat
+token rows cross the wire exactly once. No pandas UDF anywhere — the whole
+plan is JVM window exec + projections, whole-stage-codegen eligible.
 """
 
 from __future__ import annotations
@@ -40,26 +43,31 @@ def feature_pipeline(
     gap_sec: float = GAP_SEC,
     tol_sec: float = ASOF_TOL_SEC,
 ) -> DataFrame:
-    w = Window.partitionBy("doc_id").orderBy("ts", "seq")
-
-    # point-in-time backfill + windowed features (one Window exchange)
-    df = seq.withColumn("v_filled", locf("value", w, default=0.0))
-    df = df.withColumn("delta1", W.delta1("v_filled", w))
-    df = df.withColumn("delta9", W.delta_trailing("v_filled", w, half=4))
-    df = df.withColumn("roll_mean", W.rolling_mean("v_filled", w, ROLL_WINDOW))
-    df = df.withColumn("roll_std", W.rolling_std_pop("v_filled", w, ROLL_WINDOW))
-    df = df.withColumn("cum_tokens", W.running_sum(F.col("n_tok").cast("long"), w))
-    df = with_session_id(df, keys=["doc_id"], ts="ts", order=["ts", "seq"], gap_sec=gap_sec)
-
-    # point-in-time reference lookup (backward as-of, tolerance-bounded)
+    # point-in-time reference lookup first (backward as-of, tolerance-bounded),
+    # with the union clustered on doc_id alone — the one exchange of the run;
+    # every window below reuses hash(doc_id) and plans sort-only
     matched = asof_join(
-        df,
+        seq,
         ref,
         on=["source", "doc_id"],
         left_ts="ts",
         tolerance_sec=tol_sec,
         direction="backward",
         strategy=asof_strategy,
+        cluster_on=["doc_id"] if asof_strategy == "window" else None,
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("ts", "seq")
+
+    # point-in-time backfill + windowed features (no further exchange)
+    df = matched.withColumn("v_filled", locf("value", w, default=0.0))
+    df = df.withColumn("delta1", W.delta1("v_filled", w))
+    df = df.withColumn("delta9", W.delta_trailing("v_filled", w, half=4))
+    df = df.withColumn("roll_mean", W.rolling_mean("v_filled", w, ROLL_WINDOW))
+    df = df.withColumn("roll_std", W.rolling_std_pop("v_filled", w, ROLL_WINDOW))
+    df = df.withColumn("cum_tokens", W.running_sum(F.col("n_tok").cast("long"), w))
+    matched = with_session_id(
+        df, keys=["doc_id"], ts="ts", order=["ts", "seq"], gap_sec=gap_sec
     )
 
     # exact µs subtraction first, one double division after (oracle parity)

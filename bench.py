@@ -53,8 +53,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
-    # warm the JVM + parquet footers once (excluded from timings)
+    # warm the JVM + parquet footers + Python worker pool once (excluded from
+    # timings — worker fork/import cost is session setup, not engine time)
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    import pandas as _pd  # noqa: F401
+
+    spark.range(0, cpus * 4, 1, cpus * 4).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,104 @@
+"""Physical-plan regression tests — the 100 TB story lives or dies in the
+plan shape, so lock it in:
+
+- the flagship pipeline does exactly ONE exchange of the fat token rows
+  (the as-of union clustered on doc_id; every feature window reuses it);
+- filters reach the parquet scan (PushedFilters) and unused columns are
+  pruned (ReadSchema);
+- the dimension side of the equi-join chain broadcasts (no shuffle of the
+  fact side for the dim lookup);
+- stacked window expressions over one spec collapse into one Window node
+  (one sort, not five).
+
+These assert on plan text only — no jobs run, so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from audio_feature_extraction_spark.operators import windows as W
+from audio_feature_extraction_spark.operators.backfill import locf
+from audio_feature_extraction_spark.plans.pipeline import feature_pipeline
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_single_exchange(tiny_df):
+    seq, ref = tiny_df
+    plan = _plan(feature_pipeline(seq, ref))
+    # createDataFrame inputs are local scans; the one exchange is the
+    # doc_id-clustered repartition feeding the as-of window + all features
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_pipeline_single_exchange_on_parquet(spark):
+    seq = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from audio_feature_extraction_spark.plans.from_events import (
+        reference_from_events,
+        sequences_from_events,
+    )
+
+    s = sequences_from_events(seq)
+    r = reference_from_events(seq)
+    plan = _plan(feature_pipeline(s, r))
+    # the ref-side derivation aggregates events → its own (slim) exchange;
+    # the fat token rows still cross exactly one exchange, on doc_id alone
+    doc_exchanges = re.findall(r"Exchange hashpartitioning\(doc_id#\d+, \d+\)", plan)
+    assert len(doc_exchanges) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1][:200], plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # only the projected + filtered columns are read, not value/props/ts
+    assert cols <= {"event_id", "user_id", "event_type"}, cols
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(em.queries()["equi_join_fanout"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_stacked_windows_single_sort(tiny_df):
+    seq, _ = tiny_df
+    w = Window.partitionBy("doc_id").orderBy("ts", "seq")
+    df = (
+        seq.withColumn("v_filled", locf("value", w, default=0.0))
+        .withColumn("d1", W.delta1("v_filled", w))
+        .withColumn("rm", W.rolling_mean("v_filled", w, 5))
+        .withColumn("rs", W.rolling_std_pop("v_filled", w, 5))
+        .withColumn("cum", W.running_sum(F.col("n_tok").cast("long"), w))
+    )
+    plan = _plan(df)
+    # same partitioning + ordering → one exchange and at most two sorts
+    # (Spark may split frame families into separate Window nodes but must
+    # not re-exchange between them)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) <= 2, plan
+
+
+@pytest.mark.parametrize("qname", ["pricing_summary", "grouped_stats"])
+def test_agg_queries_partial_aggregate(spark, qname):
+    """Aggregations must plan partial (map-side) + final HashAggregate."""
+    plan = _plan(em.queries()[qname](spark, SF_DIR))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
