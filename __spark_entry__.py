@@ -1407,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_backward": _q_asof("window"),
         "asof_salted": _q_asof("salted"),
         "asof_range_merge": _q_asof("range_merge"),
+        "asof_broadcast": _q_asof("broadcast"),
         "asof_forward": _q_asof("window", direction="forward"),
         "equi_join_fanout": _q_equi_join_fanout,
         "anti_join": _q_anti_join,
@@ -1462,6 +1463,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_backward": _SQL_ASOF_BACKWARD,
         "asof_salted": _SQL_ASOF_BACKWARD,
         "asof_range_merge": _SQL_ASOF_BACKWARD,
+        "asof_broadcast": _SQL_ASOF_BACKWARD,
         "asof_forward": _SQL_ASOF_FORWARD,
         "equi_join_fanout": _SQL_EQUI_JOIN_FANOUT,
         "anti_join": _SQL_ANTI_JOIN,

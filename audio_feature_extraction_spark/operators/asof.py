@@ -30,6 +30,12 @@ Three physical strategies, same semantics (equivalence is tested):
                 Range partitioning balances partitions by sampled row counts,
                 which also absorbs key skew without salting.
 
+``broadcast``   for a SMALL right side (a reference dimension): collapse the
+                right side to one sorted struct-array per key, broadcast it,
+                and match per left row with array `filter` + `element_at` —
+                the fat left side is never shuffled at all. The right side
+                must fit in a broadcast (same contract as any dim broadcast).
+
 Right side must be unique per (keys, ts): use :func:`dedupe_right` first if
 needed (the reference pre-dedupes teacher frames the same way).
 """
@@ -139,6 +145,12 @@ def asof_join(
     assert direction in ("backward", "forward")
     right_ts = right_ts or left_ts
     right_payload = [c for c in right.columns if c not in set(on) | {right_ts}]
+
+    if strategy == "broadcast":
+        return _broadcast_asof(
+            left, right, on, left_ts, right_ts, right_payload, tolerance_sec, direction
+        )
+
     u = _union_frames(left, right, on, left_ts, right_ts, right_payload)
 
     if strategy == "range_merge":
@@ -187,6 +199,58 @@ def asof_join(
         F.last("__r_ts", ignorenulls=True).over(w).alias("__m___r_ts"),
     )
     return _finish(matched, left.columns, left_ts, right_payload, tolerance_sec, direction)
+
+
+def _broadcast_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tolerance_sec: float | None,
+    direction: str,
+) -> DataFrame:
+    """Small-right as-of: per-key time-sorted struct array, broadcast-joined,
+    matched with array ``filter`` + ``element_at`` — 100% JVM expressions,
+    zero shuffle/sort of the (fat) left side. The 100 TB shape for PIT
+    lookups against a reference *dimension* (the teacher-recording analog is
+    exactly that: few reference rows per key, `dtw_alignment.py:1377-1416`)."""
+    # struct sorts lexicographically, ts first → array_sort = time order
+    refs = right.groupBy(*on).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(right_ts).alias("ts"), *[F.col(c) for c in right_payload])
+            )
+        ).alias("__refs")
+    )
+    j = left.join(F.broadcast(refs), on=on, how="left")
+
+    lts = F.col(left_ts)
+    if direction == "backward":
+        cand = F.filter("__refs", lambda r: r["ts"] <= lts)
+        hit = F.element_at(cand, -1)  # latest preceding
+    else:
+        cand = F.filter("__refs", lambda r: r["ts"] >= lts)
+        hit = F.element_at(cand, 1)  # earliest following
+
+    m_ts = hit["ts"]
+    if tolerance_sec is not None:
+        tol = F.lit(int(round(tolerance_sec * 1_000_000)))
+        lag = (
+            ts_micros(left_ts) - ts_micros(m_ts)
+            if direction == "backward"
+            else ts_micros(m_ts) - ts_micros(left_ts)
+        )
+        ok = m_ts.isNotNull() & (lag <= tol)
+    else:
+        ok = m_ts.isNotNull()
+
+    return j.select(
+        *left.columns,
+        F.when(ok, m_ts).alias("matched_ts"),
+        *[F.when(ok, hit[c]).alias(c) for c in right_payload],
+    )
 
 
 def _range_merge(

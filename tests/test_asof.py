@@ -77,7 +77,7 @@ def check(out_pdf, direction="backward", tol=None):
     assert ((om == em) | (pd.isna(om) & pd.isna(em))).all()
 
 
-@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge"])
+@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge", "broadcast"])
 @pytest.mark.parametrize("tol", [None, 60.0])
 def test_backward(dfs, strategy, tol):
     l, r = dfs
@@ -85,7 +85,7 @@ def test_backward(dfs, strategy, tol):
     check(out, "backward", tol)
 
 
-@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge"])
+@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge", "broadcast"])
 def test_forward(dfs, strategy):
     l, r = dfs
     out = asof_join(l, r, on=["k"], direction="forward", strategy=strategy).toPandas()
