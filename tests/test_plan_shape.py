@@ -102,3 +102,17 @@ def test_agg_queries_partial_aggregate(spark, qname):
     """Aggregations must plan partial (map-side) + final HashAggregate."""
     plan = _plan(em.queries()[qname](spark, SF_DIR))
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_broadcast_asof_never_shuffles_left(tiny_df):
+    """broadcast strategy: the fat probe side crosses NO exchange — the only
+    exchanges are the slim right-side aggregation + BroadcastExchange."""
+    from audio_feature_extraction_spark.operators.asof import asof_join
+
+    seq, ref = tiny_df
+    plan = _plan(asof_join(seq, ref, on=["source"], strategy="broadcast"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # exactly one hash exchange: the slim right-side groupBy. The left side
+    # goes scan -> project -> BroadcastHashJoin with no shuffle.
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
