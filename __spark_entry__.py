@@ -479,6 +479,27 @@ def _sql_savgol() -> str:
     return f"SELECT event_id, ROUND((0.0{terms}), 6) AS smooth FROM events"
 
 
+def _q_gauss_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: gaussian convolutional smoothing (dtw_alignment.py:413-441) as a
+    trailing fixed-weight windowed dot product — same physical shape as SG."""
+    ev = _t(spark, sf_dir, "events")
+    w = _uw()
+    coeffs = W.gaussian_coeffs(9, 2.0)
+    return ev.select(
+        "event_id", F.round(W.weighted_window("value", w, coeffs), 6).alias("smooth")
+    )
+
+
+def _sql_gauss() -> str:
+    coeffs = W.gaussian_coeffs(9, 2.0)
+    n = len(coeffs)
+    terms = "".join(
+        f"\n    + ({c!r}) * {_duck_edge_lag('value', n - 1 - i)}"
+        for i, c in enumerate(coeffs)
+    )
+    return f"SELECT event_id, ROUND((0.0{terms}), 6) AS smooth FROM events"
+
+
 def _q_preemph_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("c", F.col("value") - 100.0)
     w = _uw()
@@ -1091,6 +1112,48 @@ def _q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 full-matrix variant: CUBE over (lesson, student) analog keys —
+    per-lang × per-source rollups incl. both marginals
+    (dtw_alignment.py:1519-1552)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.grouping_id().alias("grp"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").cast("long")).alias("chars"),
+        )
+        .select("lang", "source", "grp", "n", "chars")
+    )
+
+
+_SQL_CUBE_REPORT = """
+SELECT lang, source,
+  GROUPING(lang) * 2 + GROUPING(source) AS grp,
+  COUNT(*) AS n,
+  SUM(CAST(n_chars AS BIGINT)) AS chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+def _q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: count + exact distinct per group (evaluation/evaluator.py:70,
+    dtw_alignment.py:1431-1434). approx_count_distinct is the 100 TB form;
+    exact countDistinct here so the oracle comparison is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_SQL_COUNT_DISTINCT = """
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 _SQL_ROLLUP_REPORT = """
 SELECT o_orderpriority, o_orderstatus,
   GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS grp,
@@ -1428,6 +1491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snr_stability": _q_snr_stability,
         "value_histogram": _q_value_histogram,
         "rollup_report": _q_rollup_report,
+        "cube_report": _q_cube_report,
+        "count_distinct": _q_count_distinct,
+        "gauss_smooth": _q_gauss_smooth,
         "union_distinct": _q_union_distinct,
         "intersect_users": _q_intersect_users,
         "band_join": _q_band_join,
@@ -1482,6 +1548,9 @@ def oracle_sql() -> dict[str, str]:
         "snr_stability": _SQL_SNR_STABILITY,
         "value_histogram": _SQL_VALUE_HISTOGRAM,
         "rollup_report": _SQL_ROLLUP_REPORT,
+        "cube_report": _SQL_CUBE_REPORT,
+        "count_distinct": _SQL_COUNT_DISTINCT,
+        "gauss_smooth": _sql_gauss(),
         "union_distinct": _SQL_UNION_DISTINCT,
         "intersect_users": _SQL_INTERSECT_USERS,
         "band_join": _SQL_BAND_JOIN,

@@ -143,6 +143,18 @@ def savgol_coeffs(window: int = 11, polyorder: int = 3) -> list[float]:
     return [float(c) for c in coeffs]
 
 
+def gaussian_coeffs(window: int = 9, sigma: float = 2.0) -> list[float]:
+    """Normalized gaussian smoothing kernel (dtw_alignment.py:413-441;
+    gaussian_filter1d import :24). Pure numpy at plan-build time."""
+    import numpy as np
+
+    half = window // 2
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    return [float(c) for c in k]
+
+
 def weighted_window(col: str, w: WindowSpec, weights: list[float]) -> Column:
     """Trailing fixed-weight dot product (delayed-center convolution) with
     edge replication — the causal form of SG / gaussian smoothing
