@@ -1,0 +1,115 @@
+"""Streaming tumbling/sliding frame aggs + custom stateful operator.
+
+Parity model: the streaming plan drained with availableNow must equal the
+equivalent batch aggregation on the same files (complete mode — watermark
+late-drop is Spark-internal behavior, not re-tested here; state continuation
+ACROSS micro-batches is exercised via maxFilesPerTrigger=1 with
+order-insensitive cumulative asserts).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.streaming.stateful import stream_running_totals
+from audio_feature_extraction_spark.streaming.windows import (
+    stream_sliding_agg,
+    stream_tumbling_agg,
+)
+
+SCHEMA = "doc_id string, ts timestamp, n_tok int, value double"
+
+
+def _drain(out, ckpt, name, mode):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out.sparkSession.table(name)
+
+
+def _src(spark, tiny_df, tmp_path):
+    seq, _ = tiny_df
+    src = str(tmp_path / "src")
+    seq.select("doc_id", "ts", "n_tok", "value").write.parquet(src)
+    return spark.readStream.schema(SCHEMA).parquet(src), src
+
+
+def test_stream_tumbling_matches_batch(spark, tiny_df, tmp_path):
+    stream, src = _src(spark, tiny_df, tmp_path)
+    out = stream_tumbling_agg(stream, keys=["doc_id"], size="60 seconds", agg_value="n_tok")
+    got = _drain(out, str(tmp_path / "ck1"), "tumb", "complete").toPandas()
+
+    batch = spark.read.parquet(src)
+    want = (
+        batch.groupBy(F.window("ts", "60 seconds"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_tok").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("frame_start"),
+            F.col("window.end").alias("frame_end"),
+            "doc_id",
+            "n_rows",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    key = ["doc_id", "frame_start", "frame_end", "n_rows", "sum_value"]
+    g = got[key].sort_values(key).reset_index(drop=True)
+    w = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_stream_sliding_overlap(spark, tiny_df, tmp_path):
+    stream, src = _src(spark, tiny_df, tmp_path)
+    out = stream_sliding_agg(
+        stream, keys=["doc_id"], size="60 seconds", slide="30 seconds"
+    )
+    got = _drain(out, str(tmp_path / "ck2"), "slide", "complete").toPandas()
+    batch = spark.read.parquet(src).toPandas()
+    # every row lands in exactly size/slide = 2 overlapping frames
+    assert got["n_rows"].sum() == 2 * len(batch)
+
+
+def test_stateful_running_totals_across_batches(spark, tiny_df, tmp_path):
+    seq, _ = tiny_df
+    src = str(tmp_path / "src2")
+    # two files -> two micro-batches with maxFilesPerTrigger=1; per-key
+    # cumulative totals must carry GroupState across the batch boundary
+    half = seq.where(F.col("seq") % 2 == 0)
+    other = seq.where(F.col("seq") % 2 == 1)
+    half.select("doc_id", "ts", "n_tok", "value").coalesce(1).write.parquet(f"{src}/a=1")
+    other.select("doc_id", "ts", "n_tok", "value").coalesce(1).write.parquet(f"{src}/a=2")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = stream_running_totals(stream)
+    got = _drain(out, str(tmp_path / "ck3"), "stt", "update").toPandas()
+
+    want = (
+        seq.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("cum_rows"),
+            F.sum(F.col("n_tok").cast("long")).alias("cum_tokens"),
+        )
+        .toPandas()
+    )
+    # state continuation: the FINAL emitted cumulative row per key equals the
+    # full-data batch totals (order of the two files is irrelevant — sums commute)
+    final = got.sort_values("cum_rows").groupby("doc_id").last().reset_index()
+    key = ["doc_id", "cum_rows", "cum_tokens"]
+    g = final[key].sort_values("doc_id").reset_index(drop=True)
+    w = want[key].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    # and at least one key must have emitted twice (two batches touched it)
+    assert (got.groupby("doc_id").size() >= 2).any()
