@@ -1112,6 +1112,37 @@ def _q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vector_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Arrow-kernel template: per-row moment stats of the embedding
+    vector via ONE Series→Series pandas_udf (float64 accumulation in array
+    order — the reference's per-entity numpy semantics,
+    core/feature_extractor.py:99-101)."""
+    from audio_feature_extraction_spark.operators.kernels import vector_stats
+
+    e = _t(spark, sf_dir, "embeddings")
+    s = vector_stats("embedding")
+    return e.select(
+        "vec_id",
+        F.round(s["mean"], 6).alias("v_mean"),
+        F.round(s["std"], 6).alias("v_std"),
+        F.round(s["vmin"], 6).alias("v_min"),
+        F.round(s["vmax"], 6).alias("v_max"),
+        F.round(s["l2"], 6).alias("v_l2"),
+    )
+
+
+_SQL_VECTOR_KERNEL = """
+SELECT vec_id,
+  ROUND((SELECT AVG(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)), 6) AS v_mean,
+  ROUND((SELECT STDDEV_POP(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)), 6) AS v_std,
+  ROUND((SELECT MIN(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)), 6) AS v_min,
+  ROUND((SELECT MAX(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)), 6) AS v_max,
+  ROUND(SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+              FROM UNNEST(embedding) AS t(x))), 6) AS v_l2
+FROM embeddings
+"""
+
+
 def _q_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 full-matrix variant: CUBE over (lesson, student) analog keys —
     per-lang × per-source rollups incl. both marginals
@@ -1492,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _q_value_histogram,
         "rollup_report": _q_rollup_report,
         "cube_report": _q_cube_report,
+        "vector_kernel_stats": _q_vector_kernel,
         "count_distinct": _q_count_distinct,
         "gauss_smooth": _q_gauss_smooth,
         "union_distinct": _q_union_distinct,
@@ -1549,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": _SQL_VALUE_HISTOGRAM,
         "rollup_report": _SQL_ROLLUP_REPORT,
         "cube_report": _SQL_CUBE_REPORT,
+        "vector_kernel_stats": _SQL_VECTOR_KERNEL,
         "count_distinct": _SQL_COUNT_DISTINCT,
         "gauss_smooth": _sql_gauss(),
         "union_distinct": _SQL_UNION_DISTINCT,
