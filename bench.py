@@ -36,7 +36,14 @@ HEADLINE = [
     "asof_backward",
     "asof_salted",
     "asof_range_merge",
+    "asof_broadcast",
     "equi_join_fanout",
+    "gauss_smooth",
+    "cube_report",
+    "vector_kernel_stats",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_features",
     "pipeline_features",
 ]
 
