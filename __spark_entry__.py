@@ -766,16 +766,31 @@ SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
 FROM documents GROUP BY 1
 """
 
-# shared brute-force 3-gram jaccard pair CTE (DuckDB)
-_SQL_JACCARD_BASE = """
+# hot-shingle document-frequency cap for the inverted-index join: a shingle
+# shared by > NGRAM_DF_CAP docs is a stop-shingle — it carries no dedup signal
+# and is exactly the key whose self-join is quadratic at 100 TB
+NGRAM_DF_CAP = 64
+
+
+def _sql_jaccard(df_cap: int | None = None) -> str:
+    """Brute-force 3-gram jaccard pairs (DuckDB). With ``df_cap`` the oracle
+    mirrors the engine's stop-shingle drop so values stay bit-identical."""
+    kept = (
+        "SELECT * FROM sh"
+        if df_cap is None
+        else "SELECT * FROM sh WHERE s NOT IN "
+        f"(SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {df_cap})"
+    )
+    return f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
         FROM d),
 sh AS (SELECT DISTINCT doc_id,
          words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s FROM idx),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+kept AS ({kept}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
 pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT id_a, id_b,
        ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
@@ -786,9 +801,13 @@ WHERE inter / (sa.n + sb.n - inter) >= 0.8
 """
 
 
+_SQL_JACCARD_BASE = _sql_jaccard(None)
+
+
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8, df_cap=NGRAM_DF_CAP,
     )
 
 
@@ -948,14 +967,77 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _S.lsh_bucketed_topk(emb, queries, k=10)
 
 
+def _sql_ann_lsh() -> str:
+    """DuckDB twin of lsh_bucketed_topk: identical plan-time hyperplane
+    literals, identical sequential double math, multiprobe at hamming ≤ 1 —
+    so the approximate result is deterministic and exactly checkable."""
+    planes = _S._plane_literals(8, 64, 7)
+    bits = " + ".join(
+        "(CASE WHEN list_sum(list_transform(list_zip(e, ["
+        + ", ".join(repr(x) for x in plane)
+        + "]), x -> x[1] * x[2])) > 0 THEN "
+        + str(1 << p)
+        + " ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(8)])
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {bits} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, unnest([{probes}]) AS bucket
+      FROM sig WHERE vec_id < 10),
+cand AS (SELECT q.query_id, s.vec_id AS neighbor_id, q.qe, s.e
+         FROM sig s JOIN q ON s.bucket = q.bucket
+         WHERE s.vec_id != q.query_id),
+scored AS (SELECT query_id, neighbor_id,
+    list_sum(list_transform(list_zip(qe, e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+       * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+  FROM cand),
+ranked AS (SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing over synthesized payloads (no media
-    codecs in this container; deterministic fake decoder, real Arrow path)."""
+    codecs in this container; deterministic md5-derived fake decoder, real
+    Arrow mapInPandas path — the oracle reproduces the features in SQL)."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     out = _M.extract_media_features(_M.with_media_meta(d), fake=True)
-    return out.select("doc_id", F.size("media_features").alias("feat_dim"))
+    return out.select(
+        "doc_id",
+        F.size("media_features").alias("feat_dim"),
+        F.round(F.element_at("media_features", 1), 6).alias("f0"),
+        F.round(F.element_at("media_features", 8), 6).alias("f7"),
+        F.round(
+            F.aggregate("media_features", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("f_sum"),
+    )
+
+
+def _sql_media_features() -> str:
+    """SQL twin of multimodal._fake_decode: feature i =
+    int64(md5(payload || '|' || i)[:12 hex]) / 2^48, payload = utf-8 text."""
+    def feat(i: int) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5(text || '|{i}'), 1, 12)) AS BIGINT)"
+            " / 281474976710656.0)"
+        )
+
+    fsum = " + ".join(feat(i) for i in range(_M.FEATURE_DIM))
+    return f"""
+SELECT doc_id, CAST({_M.FEATURE_DIM} AS INT) AS feat_dim,
+  ROUND({feat(0)}, 6) AS f0,
+  ROUND({feat(7)}, 6) AS f7,
+  ROUND((0.0 + {fsum}), 6) AS f_sum
+FROM documents
+"""
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,7 +1245,7 @@ _SQL_CUBE_REPORT = """
 SELECT lang, source,
   GROUPING(lang) * 2 + GROUPING(source) AS grp,
   COUNT(*) AS n,
-  SUM(CAST(n_chars AS BIGINT)) AS chars
+  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
 FROM documents GROUP BY CUBE (lang, source)
 """
 
@@ -1333,7 +1415,7 @@ def _q_token_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",", F.slice("tokens", 1, F.least(F.lit(8), F.col("n_tok")))
         ).alias("head_csv"),
-        F.element_at("tokens", -1).alias("tok_last"),
+        F.try_element_at("tokens", F.lit(-1)).alias("tok_last"),
         F.aggregate(
             "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
         ).alias("tok_sum"),
@@ -1473,6 +1555,39 @@ FROM events
 """
 
 
+def _q_delta9_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Δ² (delta-delta, W2): the trailing regression delta applied to its own
+    output — the reference's stacked Δ/Δ² features
+    (feature_extraction.py:208-211)."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.delta2_trailing(
+        ev, "value", keys=["user_id"], order=["ts", "event_id"], half=4, out="d2"
+    )
+    return out.select("event_id", F.round("d2", 6).alias("d2"))
+
+
+def _duck_delta9_expr(col: str) -> str:
+    """The causal width-9 regression delta as a DuckDB expression — same term
+    order & parenthesization as operators.windows.delta_trailing."""
+    return (
+        "(0.0"
+        f"\n    + 1.0 * ({_duck_edge_lag(col, 3)} - {_duck_edge_lag(col, 5)})"
+        f"\n    + 2.0 * ({_duck_edge_lag(col, 2)} - {_duck_edge_lag(col, 6)})"
+        f"\n    + 3.0 * ({_duck_edge_lag(col, 1)} - {_duck_edge_lag(col, 7)})"
+        f"\n    + 4.0 * ({col} - {_duck_edge_lag(col, 8)})) / 60.0"
+    )
+
+
+_SQL_DELTA9_SECOND = f"""
+WITH d1 AS (
+  SELECT event_id, user_id, ts,
+    {_duck_delta9_expr("value")} AS d9
+  FROM events)
+SELECT event_id, ROUND({_duck_delta9_expr("d9")}, 6) AS d2
+FROM d1
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1535,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": _q_emb_neardup,
         "binpack_assign": _q_binpack_assign,
         "delta9_centered": _q_delta9_centered,
+        "delta9_second": _q_delta9_second,
     }
 
 
@@ -1567,7 +1683,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": _SQL_ANTI_JOIN,
         "pipeline_features": _SQL_PIPELINE,
         "dedup_exact": _SQL_DEDUP_EXACT,
-        "dedup_ngram_jaccard": _SQL_JACCARD_BASE,
+        "dedup_ngram_jaccard": _sql_jaccard(NGRAM_DF_CAP),
         "dedup_minhash_lsh": _SQL_JACCARD_BASE,
         "simhash_signatures": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
@@ -1593,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup": _sql_emb_neardup(),
         "binpack_assign": _SQL_BINPACK_ASSIGN,
         "delta9_centered": _SQL_DELTA9_CENTERED,
-        # ann_lsh_topk: probabilistic recall — rows-only check
-        # media_features: mapInPandas decode plumbing — rows-only check
+        "delta9_second": _SQL_DELTA9_SECOND,
+        "ann_lsh_topk": _sql_ann_lsh(),
+        "media_features": _sql_media_features(),
     }

@@ -227,12 +227,15 @@ def _broadcast_asof(
     j = left.join(F.broadcast(refs), on=on, how="left")
 
     lts = F.col(left_ts)
+    # try_element_at: NULL on empty candidate array (a left row with no
+    # in-tolerance partner) — element_at throws under ANSI mode (Spark 4
+    # default), and NULL is exactly the intended missing-partner semantics.
     if direction == "backward":
         cand = F.filter("__refs", lambda r: r["ts"] <= lts)
-        hit = F.element_at(cand, -1)  # latest preceding
+        hit = F.try_element_at(cand, F.lit(-1))  # latest preceding
     else:
         cand = F.filter("__refs", lambda r: r["ts"] >= lts)
-        hit = F.element_at(cand, 1)  # earliest following
+        hit = F.try_element_at(cand, F.lit(1))  # earliest following
 
     m_ts = hit["ts"]
     if tolerance_sec is not None:

@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 
 BIN_COL = "__bin_id"
 
+# ungrouped default: pre-split the prefix scan so it never plans a single-task
+# global window. A fixed constant (not the session's shuffle partitions) keeps
+# bin assignment identical across parallelism levels — the determinism contract.
+DEFAULT_SCAN_SALTS = 32
+
 
 def with_bin_id(
     df: DataFrame,
@@ -39,7 +44,7 @@ def with_bin_id(
     order_cols: list[str] | None = None,
     group_cols: list[str] | None = None,
     target_payload_per_bin: int = 4_000_000,
-    salt_groups: int = 1,
+    salt_groups: int | None = None,
     out: str = BIN_COL,
     mix: bool = True,
 ) -> DataFrame:
@@ -47,10 +52,17 @@ def with_bin_id(
 
     ``target_payload_per_bin`` is in payload units (tokens ≈ 4 bytes each for
     int32, so 4M tokens ≈ 16 MiB shuffle blocks — small enough to never spill,
-    large enough to amortize task overhead)."""
+    large enough to amortize task overhead).
+
+    ``salt_groups=None`` (default) resolves to 1 when ``group_cols`` already
+    parallelize the scan, else to ``DEFAULT_SCAN_SALTS`` — no code path plans
+    ``Window.orderBy`` without ``partitionBy`` unless explicitly forced with
+    ``salt_groups=1``."""
     order_cols = order_cols or ["doc_id", "seq"]
     group_cols = list(group_cols) if group_cols else []
     gcols = group_cols.copy()
+    if salt_groups is None:
+        salt_groups = 1 if gcols else DEFAULT_SCAN_SALTS
     if salt_groups > 1:
         # payload-blind split of a single giant group; xxhash64 of the order
         # key is deterministic across runs and partitionings
@@ -97,7 +109,7 @@ def repartition_by_payload(
     group_cols: list[str] | None = None,
     target_payload_per_bin: int = 4_000_000,
     num_partitions: int | None = None,
-    salt_groups: int = 1,
+    salt_groups: int | None = None,
 ) -> DataFrame:
     """Bin-pack then exchange: returns the same rows, partitioned so each
     task's token-payload is ~target_payload_per_bin."""

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
-    FloatType,
+    DoubleType,
     StructField,
     StructType,
 )
@@ -56,11 +56,20 @@ def with_media_meta(
 
 
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in for a codec: features are a pure function of
-    the bytes (seeded from their sha256), so tests are partition-invariant."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.normal(0.0, 1.0, dim).astype(np.float32)
+    """Deterministic stand-in for a codec: feature i is a pure arithmetic
+    function of md5(payload || '|' || i) — partition-invariant AND expressible
+    in ANSI SQL, so the DuckDB oracle reproduces it bit-for-bit:
+    ``('0x' || substr(md5(text || '|' || i), 1, 12))::BIGINT / 2^48``."""
+    return np.array(
+        [
+            int(
+                hashlib.md5(payload + b"|" + str(i).encode()).hexdigest()[:12], 16
+            )
+            / float(1 << 48)
+            for i in range(dim)
+        ],
+        dtype=np.float64,
+    )
 
 
 def decode_kernel(payload: bytes, codec: str, fake: bool = False) -> np.ndarray:
@@ -88,7 +97,7 @@ def extract_media_features(
     out_schema = StructType(
         [
             src.schema[id_col],
-            StructField("media_features", ArrayType(FloatType())),
+            StructField("media_features", ArrayType(DoubleType())),
         ]
     )
 

@@ -80,6 +80,29 @@ def delta_trailing(col: str, w: WindowSpec, half: int = 4) -> Column:
     return expr / F.lit(float(denom))
 
 
+def delta2_trailing(
+    df: DataFrame,
+    col: str,
+    keys: list[str],
+    order: list[str],
+    half: int = 4,
+    out: str = "d2",
+    keep_d1: str | None = None,
+) -> DataFrame:
+    """Δ² (delta-delta): :func:`delta_trailing` applied to its own output —
+    the reference stacks Δ and Δ² onto every feature
+    (04_feature_extraction_experiment/feature_extraction.py:208-211,
+    core/feature_extractor.py:137-138). Two chained Window nodes over the SAME
+    (keys, order) spec, so Catalyst plans ONE hash exchange + one sort reused
+    by both passes; edge replication composes (the Δ² pad reads the
+    edge-replicated Δ, exactly like librosa's repeated pad-and-convolve)."""
+    w = entity_window(keys, order)
+    d1 = keep_d1 or "__d1"
+    df = df.withColumn(d1, delta_trailing(col, w, half))
+    df = df.withColumn(out, delta_trailing(d1, w, half))
+    return df if keep_d1 else df.drop(d1)
+
+
 def delta_centered(col: str, w: WindowSpec, half: int = 4) -> Column:
     """Exact centered librosa-style delta (non-causal; excluded from the
     leakage-gated flagship vector, provided for reference parity)."""
@@ -122,8 +145,10 @@ def rolling_median(col: str, w: WindowSpec, n: int) -> Column:
     constant (kernel 3/5 in the reference) so the per-row array is tiny."""
     vals = F.array_sort(F.collect_list(col).over(_trailing(w, n)))
     cnt = F.size(vals)
-    lo = F.element_at(vals, ((cnt + 1) / 2).cast("int"))
-    hi = F.element_at(vals, (cnt / 2 + 1).cast("int"))
+    # try_element_at: an all-NULL frame collects an empty array (index 0) —
+    # NULL median, not an ANSI INVALID_ARRAY_INDEX error
+    lo = F.try_element_at(vals, ((cnt + 1) / 2).cast("int"))
+    hi = F.try_element_at(vals, (cnt / 2 + 1).cast("int"))
     return (lo + hi) / 2.0
 
 

@@ -88,7 +88,7 @@ def feature_pipeline(
             F.col("session_id").cast("double"),
             F.col("n_tok").cast("double"),
             F.col("cum_tokens").cast("double"),
-            F.coalesce(F.element_at("ref_vec", 1), F.lit(0.0)),
+            F.coalesce(F.try_element_at("ref_vec", F.lit(1)), F.lit(0.0)),
             F.coalesce(lag_sec, F.lit(-1.0)),
         ).alias("feature_vector"),
         "tokens",

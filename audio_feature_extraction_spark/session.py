@@ -50,8 +50,11 @@ def get_spark(
         # tokens arrays are fat rows: cap scan partition bytes so a partition
         # of arrays still fits executor memory at high SF
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # deterministic non-ANSI overflow semantics for hash arithmetic
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI on — the Spark 4 default and what the driver's session runs;
+        # engine expressions must be ANSI-safe (try_element_at for possibly-
+        # empty arrays, guarded divisions), so the local gate can't mask
+        # environment-sensitive crashes (round-1 asof_broadcast lesson)
+        .config("spark.sql.ansi.enabled", "true")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -31,8 +31,16 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _row_checksum(key_cols: list[str]) -> Column:
+    """Order-independent content checksum: SUM of per-row xxhash64, widened to
+    DECIMAL(38,0) so the sum is exact and ANSI-safe (a raw BIGINT sum of 64-bit
+    hashes overflows, which ANSI mode — the Spark 4 default — turns into an
+    ARITHMETIC_OVERFLOW error instead of wraparound)."""
+    return F.sum(F.xxhash64(*key_cols).cast("decimal(38,0)"))
 
 
 class CheckpointTable:
@@ -96,7 +104,7 @@ class CheckpointTable:
         ).agg(
             F.count(F.lit(1)).alias("rows"),
             payload.alias("payload"),
-            F.sum(F.xxhash64(*key_cols)).alias("checksum"),
+            _row_checksum(key_cols).alias("checksum"),
             watermark.alias("watermark_ts"),
         )
         manifest.coalesce(1).write.mode("overwrite").parquet(
@@ -150,7 +158,7 @@ class CheckpointTable:
         manifest = self.read_manifest(spark)
         recomputed = data.groupBy("snapshot_id").agg(
             F.count(F.lit(1)).alias("rows_actual"),
-            F.sum(F.xxhash64(*key_cols)).alias("checksum_actual"),
+            _row_checksum(key_cols).alias("checksum_actual"),
         )
         recorded = manifest.groupBy("snapshot_id").agg(
             F.sum("rows").alias("rows_recorded"),

@@ -44,12 +44,36 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    if str(s.dtype).startswith("datetime64"):
+        return "datetime"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    return "object"
+
+
 def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     errs: list[str] = []
     if set(a.columns) != set(b.columns):
         return [f"schema mismatch: spark={sorted(a.columns)} duck={sorted(b.columns)}"]
     if len(a) != len(b):
         errs.append(f"row count: spark={len(a)} duck={len(b)}")
+        return errs
+    # the driver's value-hash is dtype-sensitive (round-1 cube_report lesson:
+    # DuckDB HUGEINT sums land as float64, Spark as int64 — rows match, hash
+    # doesn't). Flag any cross-kind column BEFORE canonicalization.
+    for c in a.columns:
+        ka, kb = _dtype_kind(a[c]), _dtype_kind(b[c])
+        if ka != kb:
+            errs.append(
+                f"col {c}: dtype kind mismatch spark={a[c].dtype}({ka}) "
+                f"duck={b[c].dtype}({kb}) — driver hash would differ"
+            )
+    if errs:
         return errs
     a, b = canon(a), canon(b)
     for c in a.columns:
