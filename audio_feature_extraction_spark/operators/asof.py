@@ -224,7 +224,19 @@ def _broadcast_asof(
             )
         ).alias("__refs")
     )
-    j = left.join(F.broadcast(refs), on=on, how="left")
+    # null-safe equality (<=>) so NULL keys match the NULL-key reference
+    # history — the window-family strategies group NULL keys together via
+    # partitionBy, and the documented cross-strategy equivalence must hold
+    refs = refs.select(
+        *[F.col(k).alias(f"__k_{k}") for k in on], "__refs"
+    )
+    cond = None
+    for k in on:
+        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else cond & c
+    j = left.join(F.broadcast(refs), cond, "left").drop(
+        *[f"__k_{k}" for k in on]
+    )
 
     lts = F.col(left_ts)
     # try_element_at: NULL on empty candidate array (a left row with no
@@ -295,7 +307,13 @@ def _range_merge(
         if len(pdf) == 0:
             return
         keys = pdf[list(on)]
-        gid = keys.ne(keys.shift()).any(axis=1).cumsum()
+        # null-safe boundary: NaN == NaN must NOT start a new group, so that
+        # NULL join keys form one contiguous group exactly like the window
+        # strategy's partitionBy (which groups NULLs together) — keeps the
+        # documented cross-strategy equivalence for NULL keys
+        sh = keys.shift()
+        boundary = ~(keys.eq(sh) | (keys.isna() & sh.isna()))
+        gid = boundary.any(axis=1).cumsum()
         for c in rcols:
             # gid of the row that supplied each carried-forward value; a value
             # must not cross its key boundary

@@ -140,10 +140,15 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig array<long>[num_perm]) in one pass: num_perm min() aggs over
-    the exploded shingles; perm p = xxhash64(seed+p, shingle)."""
-    sh = shingles(df, id_col, text_col, n)
+    the exploded shingles. The variable-length shingle string is hashed ONCE
+    (xxhash64), then perm p = xxhash64(seed+p, base) re-mixes the fixed 8-byte
+    base — constant work per perm instead of re-hashing the string num_perm
+    times (the dominant cost of the signature pass on long shingles)."""
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "_h0", F.xxhash64(F.col("shingle"))
+    )
     mins = [
-        F.min(F.xxhash64(F.lit(seed + p), F.col("shingle"))).alias(f"_m{p}")
+        F.min(F.xxhash64(F.lit(seed + p), F.col("_h0"))).alias(f"_m{p}")
         for p in range(num_perm)
     ]
     agg = sh.groupBy(id_col).agg(*mins)

@@ -34,11 +34,17 @@ def _update(
     else:
         cum_rows, cum_tokens, last_value = 0, 0, None
 
+    # one key's micro-batch may span several Arrow chunks arriving in
+    # arbitrary shuffle order — concat ALL chunks, sort once by event time,
+    # then take the last non-null value, so last_value is the value at the
+    # global max ts (per-chunk sorting alone is nondeterministic)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
     batch_rows = 0
-    for pdf in pdfs:
-        # event-time order within the batch so last_value is deterministic
-        pdf = pdf.sort_values("ts")
-        batch_rows += len(pdf)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "ts", kind="mergesort"
+        )
+        batch_rows = len(pdf)
         cum_rows += len(pdf)
         cum_tokens += int(pdf["n_tok"].sum())
         v = pdf["value"].dropna()

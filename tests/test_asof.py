@@ -99,6 +99,46 @@ def test_cogroup_kernel_parity(dfs, tol):
     check(out, "backward", tol)
 
 
+@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge", "broadcast"])
+def test_null_key_equivalence(spark, strategy):
+    """NULL join keys must behave identically across all four physical
+    strategies: NULL-key left rows match the NULL-key right history (the
+    window strategy's partitionBy groups NULLs together; range_merge's
+    boundary detection must be null-safe, not NaN != NaN)."""
+    l = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [None, None, "a", None],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:02", "2024-01-01 00:00:09",
+                     "2024-01-01 00:00:05", "2024-01-01 00:00:00"]
+                ),
+                "lid": [0, 1, 2, 3],
+            }
+        ),
+        schema="k string, ts timestamp, lid int",
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [None, "a"],
+                "ts": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:04"]),
+                "rv": [7.0, 1.0],
+            }
+        ),
+        schema="k string, ts timestamp, rv double",
+    )
+    out = (
+        asof_join(l, r, on=["k"], strategy=strategy)
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = [7.0, 7.0, 1.0, np.nan]
+    ov = out.rv.to_numpy()
+    assert ((ov == want) | (np.isnan(ov) & np.isnan(want))).all(), (strategy, ov)
+
+
 def test_dedupe_right(spark):
     r = spark.createDataFrame(
         pd.DataFrame(

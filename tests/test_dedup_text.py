@@ -66,6 +66,24 @@ def test_ngram_jaccard_pairs(docs, docs_pdf):
     assert len(want) > 0  # the testdata plants near-dups; don't pass vacuously
 
 
+def test_ngram_df_cap_kills_stop_shingle_blowup(spark):
+    """A stop-shingle shared by k docs produces k^2/2 candidate pairs when
+    uncapped — the named 100 TB killer. With df_cap below k the hot shingle is
+    dropped from the inverted index and the candidate set collapses."""
+    k = 40
+    rows = [
+        (f"d{i:03d}", f"the quick brown u{i}a u{i}b u{i}c u{i}d") for i in range(k)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    # threshold=0 keeps EVERY candidate pair, making the blowup observable
+    uncapped = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0)
+    assert uncapped.count() == k * (k - 1) // 2  # quadratic in the hot df
+    capped = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.0, df_cap=8
+    )
+    assert capped.count() == 0  # hot shingle dropped -> no candidates at all
+
+
 def test_minhash_lsh_matches_exact(docs, docs_pdf):
     got = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).toPandas()
     want = _jaccard_pairs(docs_pdf, 0.8)

@@ -113,3 +113,39 @@ def test_stateful_running_totals_across_batches(spark, tiny_df, tmp_path):
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
     # and at least one key must have emitted twice (two batches touched it)
     assert (got.groupby("doc_id").size() >= 2).any()
+
+
+def test_stateful_last_value_multichunk(spark, tmp_path):
+    """One key's micro-batch spanning MANY Arrow chunks: last_value must be
+    the non-null value at the global max ts, not whatever the last-arriving
+    chunk held (chunks arrive in arbitrary shuffle order)."""
+    import numpy as np
+
+    n = 5000
+    rng = np.random.default_rng(0)
+    secs = rng.permutation(n)  # rows stored in shuffled event-time order
+    pdf = pd.DataFrame(
+        {
+            "doc_id": "d0",
+            "ts": pd.to_datetime(secs, unit="s"),
+            "n_tok": 1,
+            "value": [float(s) if s % 7 else None for s in secs],
+        }
+    )
+    want_last = float(max(s for s in secs if s % 7))
+
+    src = str(tmp_path / "src3")
+    spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "97")
+    try:
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        out = stream_running_totals(stream)
+        got = _drain(out, str(tmp_path / "ck4"), "stt_mc", "update").toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert len(got) == 1
+    assert int(got.cum_rows.iloc[0]) == n
+    assert float(got.last_value.iloc[0]) == want_last
