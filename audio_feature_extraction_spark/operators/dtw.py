@@ -1,0 +1,176 @@
+"""Exact per-pair DTW kernel as a cogrouped Arrow boundary (SURVEY.md §2.10).
+
+The reference aligns a student sequence to a teacher sequence with a weighted
+DTW (`05_dtw_alignment_experiment/dtw_alignment.py:930-1090`: step weights
+favoring the diagonal, banded by max_time_difference `:44`). The engine's
+*as-of join* replaces that alignment for point-in-time semantics; this module
+is the exact-kernel fallback for when the full warping path is required —
+one `cogroup().applyInPandas()` stage: pairs are distributed, each pair's DP
+runs as anti-diagonal-vectorized numpy inside the sanctioned Arrow boundary
+(no per-row Python in any Spark plan).
+
+Scale shape: the shuffle is one hash exchange of both sides on the pair key;
+each task computes only its pairs' O(n·m) DP (banded → O(n·band)). Pairs are
+independent, so the stage parallelizes to the number of pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def dtw_accumulate(
+    cost: np.ndarray,
+    diag_weight: float = 1.0,
+    step_weight: float = 1.0,
+    band: int | None = None,
+) -> np.ndarray:
+    """Accumulated-cost matrix for the weighted-step DTW recurrence
+
+        acc[i,j] = cost[i,j] + min(acc[i-1,j] * step_weight,
+                                   acc[i,j-1] * step_weight,
+                                   acc[i-1,j-1] * diag_weight)
+
+    (``diag_weight < step_weight`` reproduces the reference's
+    diagonal-preferring alignment, `dtw_alignment.py:958-966`; both 1.0 is
+    classic DTW). ``band`` is a Sakoe-Chiba constraint on the *slope-scaled*
+    index difference ``|i - j*n/m| <= band``.
+
+    Vectorized along anti-diagonals: every cell on diagonal ``s = i + j``
+    depends only on diagonals ``s-1`` and ``s-2``, so each diagonal is one
+    fancy-indexed numpy step — no per-cell Python loop.
+    """
+    n, m = cost.shape
+    acc = np.full((n + 1, m + 1), np.inf)
+    acc[0, 0] = 0.0
+    ratio = n / m if m else 1.0
+    for s in range(2, n + m + 1):
+        i = np.arange(max(1, s - m), min(n, s - 1) + 1)
+        j = s - i
+        if band is not None:
+            keep = np.abs(i - j * ratio) <= band
+            i, j = i[keep], j[keep]
+            if len(i) == 0:
+                continue
+        prev = np.minimum(
+            np.minimum(acc[i - 1, j], acc[i, j - 1]) * step_weight,
+            acc[i - 1, j - 1] * diag_weight,
+        )
+        acc[i, j] = cost[i - 1, j - 1] + prev
+    return acc[1:, 1:]
+
+
+def dtw_path(acc: np.ndarray) -> list[tuple[int, int]]:
+    """Backtrack the optimal warping path from acc[n-1,m-1] to (0,0)."""
+    i, j = acc.shape[0] - 1, acc.shape[1] - 1
+    path = [(i, j)]
+    while (i, j) != (0, 0):
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            k = int(np.argmin([acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1]]))
+            if k == 0:
+                i, j = i - 1, j - 1
+            elif k == 1:
+                i -= 1
+            else:
+                j -= 1
+        path.append((i, j))
+    path.reverse()
+    return path
+
+
+def dtw_pair(
+    a: np.ndarray,
+    b: np.ndarray,
+    diag_weight: float = 1.0,
+    step_weight: float = 1.0,
+    band: int | None = None,
+) -> dict:
+    """DTW between two feature sequences (n,d) x (m,d), euclidean local cost.
+    Returns {dtw_dist, dtw_norm, path_len, n, m}."""
+    a = np.atleast_2d(np.asarray(a, dtype=np.float64))
+    b = np.atleast_2d(np.asarray(b, dtype=np.float64))
+    # pairwise euclidean via the expansion trick — one BLAS matmul, no loops
+    d2 = (
+        (a * a).sum(axis=1)[:, None]
+        + (b * b).sum(axis=1)[None, :]
+        - 2.0 * (a @ b.T)
+    )
+    cost = np.sqrt(np.maximum(d2, 0.0))
+    acc = dtw_accumulate(cost, diag_weight, step_weight, band)
+    dist = float(acc[-1, -1])
+    path = dtw_path(acc) if np.isfinite(dist) else []
+    return {
+        "dtw_dist": dist,
+        "dtw_norm": dist / (a.shape[0] + b.shape[0]),
+        "path_len": len(path),
+        "n": a.shape[0],
+        "m": b.shape[0],
+    }
+
+
+def dtw_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    order_col: str = "seq",
+    feature_cols: list[str] | None = None,
+    diag_weight: float = 1.0,
+    step_weight: float = 1.0,
+    band: int | None = None,
+) -> DataFrame:
+    """Per-key exact DTW: cogroup both sides on the pair key, sort each
+    side's frames by ``order_col``, run the banded DP, emit one row per key:
+    (keys..., n, m, dtw_dist, dtw_norm, path_len). Keys present on only one
+    side yield NULL distances (the missing-partner case,
+    `dtw_alignment.py:1443-1472`)."""
+    feature_cols = feature_cols or ["value"]
+    key_fields = ", ".join(
+        f"{k} {left.schema[k].dataType.simpleString()}" for k in on
+    )
+    out_schema = (
+        f"{key_fields}, n int, m int, dtw_dist double, dtw_norm double, "
+        "path_len int"
+    )
+
+    def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        src = lpdf if len(lpdf) else rpdf
+        keys = {k: [src[k].iloc[0]] for k in on}
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame(
+                {
+                    **keys,
+                    "n": [len(lpdf)],
+                    "m": [len(rpdf)],
+                    "dtw_dist": [None],
+                    "dtw_norm": [None],
+                    "path_len": [0],
+                }
+            )
+        a = lpdf.sort_values(order_col)[feature_cols].to_numpy(dtype=np.float64)
+        b = rpdf.sort_values(order_col)[feature_cols].to_numpy(dtype=np.float64)
+        r = dtw_pair(a, b, diag_weight, step_weight, band)
+        return pd.DataFrame(
+            {
+                **keys,
+                "n": [r["n"]],
+                "m": [r["m"]],
+                "dtw_dist": [r["dtw_dist"]],
+                "dtw_norm": [r["dtw_norm"]],
+                "path_len": [r["path_len"]],
+            }
+        )
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(kernel, schema=out_schema)
+    )
