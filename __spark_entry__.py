@@ -1002,6 +1002,55 @@ FROM ranked WHERE rank <= 10
 """
 
 
+IVF_CELLS, IVF_NPROBE, IVF_SEED = 16, 4, 11
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the scale path beside LSH): corpus pruned to
+    the query's nprobe nearest cells, exact cosine re-rank inside."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _S.ivf_topk(
+        emb, queries, k=10, n_cells=IVF_CELLS, nprobe=IVF_NPROBE, seed=IVF_SEED
+    )
+
+
+def _sql_ann_ivf() -> str:
+    """DuckDB twin of ivf_topk: identical centroid literals, identical
+    -2·(v·c)+|c|² rank math, lexicographic struct ordering for ties."""
+    cents = _S._centroid_literals(IVF_CELLS, 64, IVF_SEED)
+    ds = ", ".join(
+        "struct_pack(d := -2.0 * list_sum(list_transform(list_zip(e, ["
+        + ", ".join(repr(x) for x in c)
+        + "]), x -> x[1] * x[2])) + "
+        + repr(float(sum(x * x for x in c)))
+        + ", c := "
+        + str(i)
+        + ")"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (SELECT vec_id, e, [{ds}] AS ds FROM v),
+c AS (SELECT vec_id AS neighbor_id, e, list_sort(ds)[1].c AS cell FROM d),
+q AS (SELECT vec_id AS query_id, e AS qe,
+             unnest(list_transform(list_sort(ds)[1:{IVF_NPROBE}], s -> s.c))
+               AS cell
+      FROM d WHERE vec_id < 10),
+scored AS (SELECT q.query_id, c.neighbor_id,
+    list_sum(list_transform(list_zip(q.qe, c.e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+       * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos
+  FROM c JOIN q ON c.cell = q.cell
+  WHERE c.neighbor_id != q.query_id),
+ranked AS (SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing over synthesized payloads (no media
     codecs in this container; deterministic md5-derived fake decoder, real
@@ -1629,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _q_text_features,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_lsh_topk,
+        "ann_ivf_topk": _q_ivf_topk,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "trim_active": _q_trim_active,
@@ -1711,5 +1761,6 @@ def oracle_sql() -> dict[str, str]:
         "delta9_centered": _SQL_DELTA9_CENTERED,
         "delta9_second": _SQL_DELTA9_SECOND,
         "ann_lsh_topk": _sql_ann_lsh(),
+        "ann_ivf_topk": _sql_ann_ivf(),
         "media_features": _sql_media_features(),
     }

@@ -134,6 +134,95 @@ def cosine_neardup_pairs(
     )
 
 
+def _centroid_literals(n_cells: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids. At 100 TB these are the
+    k-means centroids fitted on a driver-side sample and baked into the plan
+    as literals; seeded gaussians here keep the plan (and the DuckDB oracle)
+    reproducible without a training pass."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.normal(0.0, 1.0, dim)] for _ in range(n_cells)]
+
+
+def _cell_dists(v: Column, centroids: list[list[float]]) -> list[Column]:
+    """Per-centroid squared-L2 rank score: -2·(v·c) + |c|² (the |v|² term is
+    constant per row and drops out of the argmin)."""
+    out = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        c2 = float(sum(x * x for x in c))
+        out.append(-2.0 * dot(v, lit_c) + F.lit(c2))
+    return out
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 11,
+    out: str = "cell",
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid id (ties -> lowest id)."""
+    centroids = _centroid_literals(n_cells, dim, seed)
+    v = _to_double(vec_col)
+    arr = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(i).alias("c"))
+            for i, d in enumerate(_cell_dists(v, centroids))
+        ]
+    )
+    return df.withColumn(out, F.array_min(arr)["c"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query probes its ``nprobe`` nearest cells; exact cosine re-rank
+    within the probed candidates. The scan/shuffle shape at scale: corpus is
+    partitioned (or Parquet-partitioned) by cell, so a query batch touches
+    nprobe/n_cells of the data — the classic IVF pruning — and the only wide
+    exchange is the per-query top-k combine."""
+    centroids = _centroid_literals(n_cells, dim, seed)
+    c = with_ivf_cell(
+        corpus.select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col)
+                      .alias("_cv")),
+        "_cv", n_cells, dim, seed,
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), _to_double(vec_col)
+                        .alias("_qv"))
+    arr = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(i).alias("c"))
+            for i, d in enumerate(_cell_dists(F.col("_qv"), centroids))
+        ]
+    )
+    probes = F.slice(F.array_sort(arr), 1, nprobe)
+    q = qv.select(
+        "query_id", "_qv", F.explode(probes).alias("_p")
+    ).select("query_id", "_qv", F.col("_p.c").alias("cell"))
+    cand = c.join(F.broadcast(q), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

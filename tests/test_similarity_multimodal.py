@@ -81,6 +81,41 @@ def test_lsh_topk_finds_planted_neighbors(spark):
         assert len(g1) == 1 and int(g1.neighbor_id.iloc[0]) == 100 + qi
 
 
+def test_ivf_topk_finds_planted_neighbors(spark):
+    """A near-identical pair lands in the same IVF cell (same argmin
+    centroid) and must come back at rank 1."""
+    rng = np.random.default_rng(321)
+    base = rng.normal(0, 1, (5, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        near = v + rng.normal(0, 0.005, 64)
+        rows.append((100 + i, [float(x) for x in near]))
+    for j in range(300):
+        rows.append((1000 + j, [float(x) for x in rng.normal(0, 1, 64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 5)
+    got = S.ivf_topk(df, queries, k=3).toPandas()
+    for qi in range(5):
+        g1 = got[(got.query_id == qi) & (got["rank"] == 1)]
+        assert len(g1) == 1 and int(g1.neighbor_id.iloc[0]) == 100 + qi
+
+
+def test_ivf_cells_partition_corpus(emb):
+    """Every vector gets exactly one cell in [0, n_cells); probing all cells
+    degrades IVF to exact brute force — top-1 must then match brute force."""
+    cells = S.with_ivf_cell(emb.select("vec_id", "embedding")).toPandas()
+    assert cells.cell.between(0, 15).all()
+    assert len(cells) == cells.vec_id.nunique()
+
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = S.brute_force_topk(emb, queries, k=1).toPandas()
+    full_probe = S.ivf_topk(emb, queries, k=1, n_cells=16, nprobe=16).toPandas()
+    e = exact.sort_values("query_id").neighbor_id.tolist()
+    f = full_probe.sort_values("query_id").neighbor_id.tolist()
+    assert e == f
+
+
 def test_media_decode_plumbing(spark):
     rows = [(f"d{i}", bytes([i] * (i + 1))) for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id string, payload binary")
