@@ -274,9 +274,12 @@ this VM from shared-resource contention that a real cluster does not have
 (threads in ONE JVM share memory bandwidth, allocator, and GC: a pure-CPU
 Spark job here gets only ~2.5x from 8->32 threads and ~3.0x from 2->8,
 vs ~3.4x from 1->4; `local-cluster[]` multi-JVM mode is worse still —
-cross-JVM shuffle serialization dominates at this scale). Run
-`SPARK_GRAFT_SCALE_EXTRA_N=2 python bench_scaling.py` to measure and
-publish the 2->8 pair alongside the primary one. The plan-level scaling
+cross-JVM shuffle serialization dominates at this scale).
+{"The secondary pair(s) in the table above measure exactly that contention"
+ " regime and are published unfiltered."
+ if len(pairs) > 1
+ else "Run `SPARK_GRAFT_SCALE_EXTRA_N=2 python bench_scaling.py` to measure"
+ " and publish the 2->8 pair alongside the primary one."} The plan-level scaling
 properties (one hash exchange for the window family, range partitioning
 for the merge, broadcast for dims, payload-aware bin-packing) are the
 transferable evidence; the in-sandbox ratio is a contention-bounded
