@@ -1604,6 +1604,92 @@ FROM events
 """
 
 
+DAY_US = 86_400_000_000
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_time_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (W12 time-based form): per user, count and sum
+    over the trailing 24 h of *event time* — a range frame over int64 µs, not
+    a row-count frame (ties included as frame peers on both engines)."""
+    ev = _t(spark, sf_dir, "events").withColumn("us", ts_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-DAY_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_24h"),
+    )
+
+
+_SQL_TIME_RANGE_STATS = f"""
+SELECT event_id,
+  COUNT(*) OVER w AS n_24h,
+  ROUND(SUM(value) OVER w, 6) AS sum_24h
+FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {DAY_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 explicit GROUPING SETS form: chosen subtotal combinations only —
+    (priority, status), (priority), (status) — not the full rollup lattice."""
+    o = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping_id() AS grp,
+               count(1) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+        """,
+        o=o,
+    )
+
+
+_SQL_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus,
+  GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS grp,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus))
+"""
+
+
+def _q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-entity × per-category report via the native pivot operator
+    (the reference's per-category metric matrices,
+    evaluation/evaluator.py:149-206). Pivot values are pinned so the plan is
+    deterministic (no extra distinct-scan job)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.avg("value"), 6))
+    )
+
+
+_SQL_PIVOT_REPORT = """
+SELECT user_id,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'error'), 6) AS error,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'view'), 6) AS view
+FROM events GROUP BY user_id
+"""
+
+
 def _q_delta9_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Δ² (delta-delta, W2): the trailing regression delta applied to its own
     output — the reference's stacked Δ/Δ² features
@@ -1701,6 +1787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binpack_assign": _q_binpack_assign,
         "delta9_centered": _q_delta9_centered,
         "delta9_second": _q_delta9_second,
+        "time_range_stats": _q_time_range_stats,
+        "grouping_sets_report": _q_grouping_sets,
+        "pivot_report": _q_pivot_report,
     }
 
 
@@ -1760,6 +1849,9 @@ def oracle_sql() -> dict[str, str]:
         "binpack_assign": _SQL_BINPACK_ASSIGN,
         "delta9_centered": _SQL_DELTA9_CENTERED,
         "delta9_second": _SQL_DELTA9_SECOND,
+        "time_range_stats": _SQL_TIME_RANGE_STATS,
+        "grouping_sets_report": _SQL_GROUPING_SETS,
+        "pivot_report": _SQL_PIVOT_REPORT,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "media_features": _sql_media_features(),
