@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis): core operators vs pandas oracles on
+randomized small frames — keys with duplicates, tied timestamps, NULL runs,
+empty sides. Complements the fixed-fixture tests with adversarial shapes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.operators.asof import asof_join, dedupe_right
+from audio_feature_extraction_spark.operators.backfill import locf
+from audio_feature_extraction_spark.operators.sessionize import with_session_id
+
+KEYS = ["a", "b", "c"]
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),
+        st.integers(min_value=0, max_value=500),  # ts seconds
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _to_pdf(rows):
+    pdf = pd.DataFrame(rows, columns=["k", "sec", "v"])
+    pdf["rid"] = range(len(pdf))  # unique deterministic tiebreak
+    pdf["ts"] = pd.to_datetime(pdf.sec, unit="s")
+    return pdf
+
+
+def _to_sdf(spark, pdf):
+    return spark.createDataFrame(
+        pdf[["k", "ts", "v", "rid"]],
+        schema="k string, ts timestamp, v double, rid long",
+    ).repartition(4)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_locf_matches_pandas_ffill(spark, rows):
+    pdf = _to_pdf(rows)
+    w = Window.partitionBy("k").orderBy("ts", "rid")
+    got = (
+        _to_sdf(spark, pdf)
+        .select("rid", locf("v", w, default=None).alias("f"))
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.sort_values(["k", "ts", "rid"], kind="mergesort")
+        .groupby("k")["v"]
+        .ffill()
+        .reindex(pdf.index)
+    )
+    want = pdf.assign(f=want).sort_values("rid").reset_index(drop=True)["f"]
+    g = got.f.to_numpy()
+    e = want.to_numpy(dtype=float)
+    assert ((g == e) | (np.isnan(g) & np.isnan(e))).all()
+
+
+@given(rows=rows_strategy, gap=st.integers(min_value=1, max_value=100))
+@SETTINGS
+def test_sessionize_matches_pandas(spark, rows, gap):
+    pdf = _to_pdf(rows)
+    got = (
+        with_session_id(
+            _to_sdf(spark, pdf), keys=["k"], ts="ts", order=["ts", "rid"],
+            gap_sec=float(gap),
+        )
+        .select("rid", "session_id")
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    p = pdf.sort_values(["k", "ts", "rid"], kind="mergesort").copy()
+    new = (p.groupby("k")["sec"].diff() > gap).astype(int)
+    p["sid"] = new.groupby(p["k"]).cumsum()
+    want = p.sort_values("rid").reset_index(drop=True)["sid"]
+    assert (got.session_id.to_numpy() == want.to_numpy()).all()
+
+
+@given(
+    lrows=rows_strategy,
+    rrows=rows_strategy,
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=200)),
+    strategy=st.sampled_from(["window", "range_merge", "broadcast"]),
+)
+@SETTINGS
+def test_asof_matches_pandas_merge_asof(spark, lrows, rrows, tol, strategy):
+    lp, rp = _to_pdf(lrows), _to_pdf(rrows)
+    l = _to_sdf(spark, lp)
+    r = dedupe_right(
+        _to_sdf(spark, rp).select("k", "ts", F.col("v").alias("rv")),
+        on=["k"], ts="ts",
+    )
+    got = (
+        asof_join(
+            l, r, on=["k"], left_ts="ts",
+            tolerance_sec=float(tol) if tol is not None else None,
+            strategy=strategy,
+        )
+        .select("rid", "matched_ts", "rv")
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+
+    rd = (
+        rp.groupby(["k", "ts"], as_index=False)["v"].max().rename(columns={"v": "rv"})
+    )
+    want = pd.merge_asof(
+        lp.sort_values("ts", kind="mergesort"),
+        rd.sort_values("ts", kind="mergesort").rename(columns={"ts": "matched_ts"}),
+        left_on="ts", right_on="matched_ts", by="k", direction="backward",
+        tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+    ).sort_values("rid").reset_index(drop=True)
+
+    gm = pd.to_datetime(got.matched_ts).to_numpy()
+    em = pd.to_datetime(want.matched_ts).to_numpy()
+    assert ((gm == em) | (pd.isna(gm) & pd.isna(em))).all()
+    gv, ev = got.rv.to_numpy(dtype=float), want.rv.to_numpy(dtype=float)
+    assert ((gv == ev) | (np.isnan(gv) & np.isnan(ev))).all()

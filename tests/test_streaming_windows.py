@@ -149,3 +149,52 @@ def test_stateful_last_value_multichunk(spark, tmp_path):
     assert len(got) == 1
     assert int(got.cum_rows.iloc[0]) == n
     assert float(got.last_value.iloc[0]) == want_last
+
+
+def test_stream_interval_join_matches_batch(spark, tiny_df, tmp_path):
+    """Watermarked stream-stream trailing-band join drained with availableNow
+    equals the equivalent batch interval join on the same files."""
+    from audio_feature_extraction_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    seq, _ = tiny_df
+    lsrc, rsrc = str(tmp_path / "jl"), str(tmp_path / "jr")
+    seq.where(F.col("seq") % 2 == 0).select("doc_id", "ts", "value").write.parquet(lsrc)
+    seq.where(F.col("seq") % 2 == 1).select(
+        "doc_id", F.col("ts").alias("r_ts"), F.col("value").alias("r_value")
+    ).write.parquet(rsrc)
+
+    ls = spark.readStream.schema("doc_id string, ts timestamp, value double").parquet(lsrc)
+    rs = spark.readStream.schema(
+        "doc_id string, r_ts timestamp, r_value double"
+    ).parquet(rsrc)
+    out = stream_interval_join(
+        ls, rs, on=["doc_id"], lo_sec=0.0, hi_sec=120.0, watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sjoin").toPandas()
+
+    lb = spark.read.parquet(lsrc)
+    rb = spark.read.parquet(rsrc)
+    want = lb.join(
+        rb,
+        (lb.doc_id == rb.doc_id)
+        & (rb.r_ts >= lb.ts - F.expr("INTERVAL 120 SECONDS"))
+        & (rb.r_ts <= lb.ts),
+        "inner",
+    ).drop(rb.doc_id).toPandas()
+
+    key = ["doc_id", "ts", "r_ts", "value", "r_value"]
+    g = got[key].sort_values(key).reset_index(drop=True)
+    w = want[key].sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) > 0
+    pd.testing.assert_frame_equal(g, w)
