@@ -15,15 +15,21 @@ idiomatic Spark DataFrame plans:
                            stats, Savitzky-Golay, cumulative ops, pre-emphasis
 - ``operators.binpack``    n_tok-aware payload-balanced repartitioning
 - ``operators.dedup``      exact / MinHash-LSH / SimHash / n-gram Jaccard dedup
-- ``operators.similarity`` brute-force + LSH-bucketed cosine top-k ANN
+- ``operators.similarity`` brute-force + LSH-bucketed + IVF cell-pruned ANN
+- ``operators.dtw``        exact banded weighted-step DTW kernel (cogrouped
+                           applyInPandas, anti-diagonal-vectorized DP)
 - ``operators.text``       language-ID, quality scoring, token counting,
                            fingerprinting
 - ``operators.multimodal`` opaque binary media columns + Arrow-batched decode
                            plumbing (decode kernels stubbed; see module docs)
 - ``sources.checkpoint``   snapshot commits + per-partition lineage manifests,
                            anti-join resume (Iceberg-style; Parquet fallback)
+- ``sources.reports``      CSV/JSON report sinks
+- ``sources.config``       YAML/JSON experiment config + env overrides
 - ``plans.pipeline``       the flagship end-to-end feature pipeline
-- ``streaming.sessions``   Structured Streaming session_window variant
+- ``streaming``            session_window, tumbling/sliding frames, stateful
+                           running totals, watermarked stream-stream interval
+                           join
 
 No per-row Python UDFs anywhere: column expressions first, Arrow-vectorized
 pandas UDFs (applyInPandas / mapInPandas / cogroup) for true kernels only.
