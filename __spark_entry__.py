@@ -1728,6 +1728,148 @@ FROM d1
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# corpus-curation suite: repetition signals, contamination, deterministic
+# sampling, length histograms (operators/quality.py)
+# --------------------------------------------------------------------------
+
+from audio_feature_extraction_spark.operators import quality as _Q  # noqa: E402
+
+_SAMPLE_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
+_SAMPLE_DEFAULT = 0.05
+
+
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc: duplicated bigram/trigram
+    fraction (pure array expressions) joined with most-frequent-word
+    dominance (explode → keyed agg → top-1 window)."""
+    d = _t(spark, sf_dir, "documents")
+    rep = d.select(
+        "doc_id",
+        F.round(_Q.duplicate_ngram_fraction("text", 2), 6).alias("dup2_frac"),
+        F.round(_Q.duplicate_ngram_fraction("text", 3), 6).alias("dup3_frac"),
+    )
+    top = _Q.top_word_stats(d, "doc_id", "text")
+    return rep.join(top, "doc_id")
+
+
+_SQL_DOC_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS wc
+  FROM documents),
+g2 AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w)),
+g3 AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w)),
+d2 AS (SELECT doc_id, ROUND(1.0 - COUNT(DISTINCT g) / COUNT(*), 6) AS dup2_frac
+       FROM g2 GROUP BY doc_id),
+d3 AS (SELECT doc_id, ROUND(1.0 - COUNT(DISTINCT g) / COUNT(*), 6) AS dup3_frac
+       FROM g3 GROUP BY doc_id),
+wordcounts AS (
+  SELECT doc_id, word, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+  GROUP BY doc_id, word),
+top AS (
+  SELECT doc_id, word, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, word) AS rn
+  FROM wordcounts)
+SELECT w.doc_id, d2.dup2_frac, d3.dup3_frac,
+       top.word AS top_word,
+       CAST(top.n AS BIGINT) AS top_word_count,
+       ROUND(top.n / w.wc, 6) AS top_word_frac
+FROM w
+LEFT JOIN d2 ON w.doc_id = d2.doc_id
+LEFT JOIN d3 ON w.doc_id = d3.doc_id
+JOIN top ON w.doc_id = top.doc_id AND top.rn = 1
+"""
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: 3-gram shingle overlap between the
+    corpus (doc_id % 97 != 0) and a broadcast benchmark set (% 97 == 0).
+    Inverted-index join — never an all-pairs comparison. (Real corpora use
+    longer shingles, e.g. 8-grams; the synthetic vocab is tiny so 3-grams
+    keep the matched set large enough to gate on.)"""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return _Q.contamination_overlap(
+        corpus, bench, "doc_id", "text", n=3, min_overlap=1
+    ).select("doc_id", F.col("overlap").cast("long").alias("overlap"))
+
+
+_SQL_CONTAMINATION = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+    {_duck_word_hash("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS h
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w)),
+corpus AS (SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 97 != 0),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+SELECT corpus.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+FROM corpus JOIN bench ON corpus.h = bench.h
+GROUP BY corpus.doc_id
+HAVING COUNT(*) >= 1
+"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling: md5-bucket filter, zero shuffles,
+    bit-reproducible across engines and partition layouts."""
+    d = _t(spark, sf_dir, "documents")
+    out = _Q.stratified_sample(
+        d, "doc_id", "source", _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    )
+    return out.select("doc_id", "source", "lang", "n_chars")
+
+
+def _sql_stratified_sample() -> str:
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " % 10000"
+    )
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(r * 10000)}"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE {bucket} < (CASE {cases} ELSE {int(_SAMPLE_DEFAULT * 10000)} END)
+"""
+
+
+def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram for batch-shape planning: power-of-two
+    n_chars buckets per source (bit-exact bucket labels)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "source", _Q.pow2_length_bucket(F.col("n_chars")).alias("len_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_SQL_LENGTH_BUCKETS = """
+SELECT source,
+  CASE WHEN n_chars <= 0 THEN 0
+       ELSE CAST(power(2.0, length(bin(CAST(n_chars AS BIGINT))) - 1) AS BIGINT)
+  END AS len_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1790,6 +1932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_range_stats": _q_time_range_stats,
         "grouping_sets_report": _q_grouping_sets,
         "pivot_report": _q_pivot_report,
+        "doc_repetition": _q_doc_repetition,
+        "contamination": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
+        "length_buckets": _q_length_buckets,
     }
 
 
@@ -1855,4 +2001,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "media_features": _sql_media_features(),
+        "doc_repetition": _SQL_DOC_REPETITION,
+        "contamination": _SQL_CONTAMINATION,
+        "stratified_sample": _sql_stratified_sample(),
+        "length_buckets": _SQL_LENGTH_BUCKETS,
     }

@@ -55,12 +55,19 @@ def canonical_key(text_col: str) -> Column:
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, out: str = "shingle"
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Short docs (< n words) contribute no shingles. The guard must be a
+    ``when``, not ``greatest(…, 0)``: Spark's ``sequence(1, 0)`` is the
+    DESCENDING ``[1, 0]`` and the 0 index crashes ``slice``."""
     w = words(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(grams).alias(out))
         .distinct()

@@ -1,0 +1,188 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+repetition signals, benchmark-contamination detection, and deterministic
+stratified sampling.
+
+Reference analog: the deduction-style quality gating in
+`04_feature_extraction_experiment/feature_extractor.py:220-227` (score
+penalties for degenerate inputs) — generalized here to the standard
+web-corpus repetition heuristics (fraction of duplicated n-grams, dominance
+of the most frequent word) used to drop boilerplate/spam before training.
+
+Scale notes (100 TB):
+- n-gram repetition ratios are pure array expressions per row — zero
+  shuffles, whole-stage codegen end-to-end.
+- most-frequent-word dominance is explode → partial-agg groupBy → window
+  top-1: one shuffle keyed by (doc, word), map-side combine takes the
+  explode blow-up back down before the exchange.
+- contamination is an inverted-index equi-join on shingle hashes with the
+  (small) benchmark side broadcast — never an all-pairs comparison; per-doc
+  overlap counts come from one more keyed agg.
+- stratified sampling is a deterministic md5-bucket filter — embarrassingly
+  parallel, no shuffle, reproducible across engines (same rows sampled in
+  DuckDB / any SQL engine, unlike Spark's ``sample()`` which is
+  partition-layout dependent).
+
+Every primitive routes hashes through the portable md5-derived int64
+(:func:`dedup.portable_word_hash`) so the DuckDB oracles reproduce values
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.operators.dedup import (
+    portable_word_hash,
+    words,
+)
+
+__all__ = [
+    "ngram_array",
+    "duplicate_ngram_fraction",
+    "top_word_stats",
+    "contamination_overlap",
+    "hash_bucket",
+    "stratified_sample",
+    "pow2_length_bucket",
+]
+
+
+def ngram_array(text_col: str, n: int) -> Column:
+    """Word n-grams of a whitespace-tokenized doc as an array<string>.
+    Empty array when the doc has fewer than ``n`` words. (The short-doc
+    guard must be a ``when``, not ``greatest(…, 0)``: Spark's ``sequence``
+    with start > stop generates a DESCENDING sequence, so ``sequence(1, 0)``
+    is ``[1, 0]`` and the 0 index crashes ``slice``.)"""
+    w = words(text_col)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_ngram_fraction(text_col: str, n: int) -> Column:
+    """Fraction of the doc's word n-grams that are repeats of an earlier
+    occurrence: ``1 - distinct/total``. High values flag boilerplate and
+    generated spam. NULL for docs with < n words (no grams to judge)."""
+    grams = ngram_array(text_col, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+    )
+
+
+def top_word_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Most-frequent-word dominance per doc: the word, its count, and its
+    share of the doc's tokens. One (doc, word) shuffle with map-side
+    combine, then a per-doc top-1 window; ties break lexicographically so
+    the result is deterministic and oracle-reproducible."""
+    wc = df.select(id_col, F.size(words(text_col)).alias("wc"))
+    counts = (
+        df.select(id_col, F.explode(words(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.partitionBy(id_col).orderBy(F.desc("n"), F.asc("word"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return top.join(wc, id_col).select(
+        id_col,
+        F.col("word").alias("top_word"),
+        F.col("n").alias("top_word_count"),
+        F.round(F.col("n") / F.col("wc"), 6).alias("top_word_frac"),
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: count, per corpus doc, how many
+    DISTINCT word n-gram shingles it shares with any benchmark doc.
+
+    Plan: both sides shingle to (doc, hash) with per-doc distinct, the
+    benchmark's hash set collapses to DISTINCT hashes and is broadcast, the
+    corpus side inner-joins on hash (inverted index, no cross product) and
+    re-aggregates per doc. Returns (id, overlap) for docs with
+    ``overlap >= min_overlap``."""
+    grams = ngram_array(text_col, n)
+
+    def doc_hashes(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col),
+                F.explode(
+                    F.array_distinct(F.transform(grams, portable_word_hash))
+                ).alias("h"),
+            )
+        )
+
+    bench_hashes = F.broadcast(
+        benchmark.select(
+            F.explode(F.transform(grams, portable_word_hash)).alias("h")
+        ).distinct()
+    )
+    return (
+        doc_hashes(corpus)
+        .join(bench_hashes, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .where(F.col("overlap") >= min_overlap)
+    )
+
+
+def hash_bucket(col: Column, buckets: int = 10_000) -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets): md5 of the
+    value's string form → int64 → mod. The sampling primitive — the same
+    row lands in the same bucket on any engine and any partition layout."""
+    return F.pmod(
+        portable_word_hash(col.cast("string")), F.lit(buckets)
+    ).cast("int")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its key's hash
+    bucket falls below ``rate * buckets`` for its stratum. Unlike
+    ``DataFrame.sample`` this is exactly reproducible (pure filter, no RNG,
+    no dependence on partitioning) and needs zero shuffles."""
+    b = hash_bucket(F.col(key_col), buckets)
+    thresh = F.lit(int(default_rate * buckets))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * buckets))
+        ).otherwise(thresh)
+    return df.where(b < thresh)
+
+
+def pow2_length_bucket(n_col: Column) -> Column:
+    """Power-of-two length bucket (largest power of two <= n as the bucket
+    label): standard sequence-length histogram for batch-shape planning.
+    The exponent comes from the binary-string bit length (exact integer),
+    NOT ``floor(log2(n))`` — float log2 can straddle engines at exact powers
+    of two; ``pow(2.0, k)`` on an exact small k is IEEE-exact everywhere.
+    Non-positive lengths land in bucket 0."""
+    exp = F.length(F.bin(n_col.cast("long"))) - 1
+    return F.when(n_col <= 0, F.lit(0).cast("long")).otherwise(
+        F.pow(F.lit(2.0), exp).cast("long")
+    )

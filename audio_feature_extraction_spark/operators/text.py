@@ -110,10 +110,17 @@ def doc_fingerprint(text_col: str) -> Column:
 def min_shingle_fingerprint(text_col: str, n: int = 3) -> Column:
     """Winnowing-lite content fingerprint: the minimum portable hash over the
     doc's word n-gram shingles — stable under local edits elsewhere in the
-    doc (the 1-perm MinHash)."""
+    doc (the 1-perm MinHash).
+
+    Short docs (< n words) return NULL. The guard is a ``when``, not
+    ``greatest(…, 0)``: ``sequence(1, 0)`` in Spark is the DESCENDING
+    ``[1, 0]`` and the 0 index crashes ``slice``."""
     w = words(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_min(F.transform(grams, portable_word_hash))
