@@ -1870,6 +1870,130 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# token-payload suite: vocabulary histogram, packed-batch rollup, per-session
+# token throughput (the north rule's payload is pre-tokenized sequences)
+# --------------------------------------------------------------------------
+
+
+def _q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary histogram over the pre-tokenized sequences: explode the
+    tokens array, one keyed agg (map-side combine collapses the explode
+    blow-up before the exchange — at 10^12 sequences the shuffle carries
+    |vocab| × partials, not one row per token occurrence)."""
+    seq = _sequences_from_events(spark, sf_dir)
+    return (
+        seq.select(
+            "doc_id", "n_tok", F.explode("tokens").alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_ntok"),
+        )
+    )
+
+
+_SQL_TOKEN_VOCAB = """
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(event_id % 31 + 2 AS INT) AS n_tok
+  FROM events),
+t AS (SELECT doc_id, n_tok, unnest(generate_series(1, n_tok)) AS token FROM s)
+SELECT CAST(token AS INT) AS token,
+  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS sum_ntok
+FROM t GROUP BY token
+"""
+
+
+def _q_packed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-shape report over the bin-packed corpus: per (lang, bin), doc
+    count, payload total, fill ratio vs the bin cap, and the ordered member
+    list — the manifest a downstream trainer reads to schedule batches."""
+    d = _t(spark, sf_dir, "documents")
+    packed = with_bin_id(
+        d,
+        payload_col="n_chars",
+        order_cols=["doc_id"],
+        group_cols=["lang"],
+        target_payload_per_bin=BIN_CAP,
+        mix=False,
+        out="bin_id",
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("payload"),
+        F.round(F.sum("n_chars") / F.lit(BIN_CAP), 6).alias("fill_ratio"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
+    )
+
+
+_SQL_PACKED_ROLLUP = f"""
+WITH packed AS (
+  SELECT doc_id, lang, n_chars,
+    CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - 1)
+               / {BIN_CAP}) AS INT) AS bin_id
+  FROM documents)
+SELECT lang, bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS payload,
+  ROUND(SUM(n_chars) / {BIN_CAP}, 6) AS fill_ratio,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM packed GROUP BY lang, bin_id
+"""
+
+
+def _q_session_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session token throughput: gap-sessionize, then sum the session's
+    token payload — the unit a streaming trainer consumes. One window pass
+    + one keyed agg, both partitioned by the same user key (no extra
+    exchange between them)."""
+    ev = _t(spark, sf_dir, "events")
+    sid = with_session_id(
+        ev, keys=["user_id"], ts="ts", order=["ts", "event_id"], gap_sec=EV_GAP_SEC
+    )
+    n_tok = (F.pmod(F.col("event_id"), F.lit(31)) + F.lit(2)).cast("int")
+    return (
+        sid.withColumn("n_tok", n_tok)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tok").cast("long").alias("session_tokens"),
+            F.max("n_tok").alias("max_ntok"),
+        )
+    )
+
+
+_SQL_SESSION_TOKEN_STATS = f"""
+WITH gaps AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER ({_WU}) > {EV_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT event_id, user_id,
+    CAST(SUM(is_new) OVER ({_WU} ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS session_id,
+    CAST(event_id % 31 + 2 AS INT) AS n_tok
+  FROM gaps)
+SELECT user_id, session_id,
+  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+  CAST(SUM(n_tok) AS BIGINT) AS session_tokens,
+  MAX(n_tok) AS max_ntok
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1936,6 +2060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "length_buckets": _q_length_buckets,
+        "token_vocab": _q_token_vocab,
+        "packed_rollup": _q_packed_rollup,
+        "session_token_stats": _q_session_token_stats,
     }
 
 
@@ -2005,4 +2132,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _SQL_CONTAMINATION,
         "stratified_sample": _sql_stratified_sample(),
         "length_buckets": _SQL_LENGTH_BUCKETS,
+        "token_vocab": _SQL_TOKEN_VOCAB,
+        "packed_rollup": _SQL_PACKED_ROLLUP,
+        "session_token_stats": _SQL_SESSION_TOKEN_STATS,
     }
