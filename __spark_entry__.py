@@ -1741,16 +1741,11 @@ _SAMPLE_DEFAULT = 0.05
 
 def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per doc: duplicated bigram/trigram
-    fraction (pure array expressions) joined with most-frequent-word
-    dominance (explode → keyed agg → top-1 window)."""
+    fraction + most-frequent-word dominance, all from ONE posexplode pass
+    (one exchange; the rollup chain reuses the hash(doc_id) partitioning —
+    see quality.repetition_stats)."""
     d = _t(spark, sf_dir, "documents")
-    rep = d.select(
-        "doc_id",
-        F.round(_Q.duplicate_ngram_fraction("text", 2), 6).alias("dup2_frac"),
-        F.round(_Q.duplicate_ngram_fraction("text", 3), 6).alias("dup3_frac"),
-    )
-    top = _Q.top_word_stats(d, "doc_id", "text")
-    return rep.join(top, "doc_id")
+    return _Q.repetition_stats(d, "doc_id", "text")
 
 
 _SQL_DOC_REPETITION = """

@@ -51,6 +51,35 @@ def test_top_word_stats(docs):
     assert out[4] == ("spam", 3, 0.75)
 
 
+def test_repetition_stats_matches_primitives(spark, docs):
+    """The one-pass explode/rollup plan must agree with the per-row array
+    primitives (duplicate_ngram_fraction + top_word_stats) on every doc."""
+    got = {
+        r["doc_id"]: r.asDict() for r in Q.repetition_stats(docs).collect()
+    }
+    ref_rep = {
+        r["doc_id"]: r.asDict()
+        for r in docs.select(
+            "doc_id",
+            F.round(Q.duplicate_ngram_fraction("text", 2), 6).alias("dup2_frac"),
+            F.round(Q.duplicate_ngram_fraction("text", 3), 6).alias("dup3_frac"),
+        ).collect()
+    }
+    ref_top = {
+        r["doc_id"]: r.asDict()
+        for r in Q.top_word_stats(docs, "doc_id", "text").collect()
+    }
+    assert set(got) == set(ref_rep)
+    for doc_id, row in got.items():
+        assert row["dup2_frac"] == ref_rep[doc_id]["dup2_frac"], doc_id
+        assert row["dup3_frac"] == ref_rep[doc_id]["dup3_frac"], doc_id
+        assert row["top_word"] == ref_top[doc_id]["top_word"], doc_id
+        assert row["top_word_count"] == ref_top[doc_id]["top_word_count"]
+        assert row["top_word_frac"] == pytest.approx(
+            ref_top[doc_id]["top_word_frac"], abs=1e-6
+        )
+
+
 def test_contamination_overlap(spark):
     corpus = spark.createDataFrame(
         [(10, "p q r s t"), (11, "zz yy xx")], "doc_id long, text string"
