@@ -190,13 +190,25 @@ def asof_join(
             .orderBy(F.col(_TS).desc(), F.col(_MARK).desc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+    # ONE last() over a struct that is non-NULL for every right row — NOT a
+    # per-column last(payload, ignorenulls): that would skip a genuine right
+    # row whose payload value is NULL and resurrect an older non-NULL value,
+    # conflating "no partner row" with "partner row with NULL value"
+    # (hypothesis-found: left ts=1 matching right (ts=1, v=NULL) must yield
+    # NULL, not the v of (ts=0)).
+    m_struct = F.when(
+        F.col(_MARK) == 1,
+        F.struct(
+            F.col("__r_ts").alias("ts"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_payload],
+        ),
+    )
     matched = u.select(
+        "*", F.last(m_struct, ignorenulls=True).over(w).alias("__m")
+    ).select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m___r_{c}")
-            for c in right_payload
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__m___r_ts"),
+        *[F.col(f"__m.{c}").alias(f"__m___r_{c}") for c in right_payload],
+        F.col("__m.ts").alias("__m___r_ts"),
     )
     return _finish(matched, left.columns, left_ts, right_payload, tolerance_sec, direction)
 
@@ -314,12 +326,19 @@ def _range_merge(
         sh = keys.shift()
         boundary = ~(keys.eq(sh) | (keys.isna() & sh.isna()))
         gid = boundary.any(axis=1).cumsum()
+        # carry from the last RIGHT ROW's position, not the last non-null
+        # payload value: a right row whose payload is NULL must still win
+        # (else "partner with NULL value" resurrects an older non-NULL one —
+        # the same conflation fixed in the window strategy)
+        is_r = pdf[_MARK].eq(1)
+        pos = pd.Series(range(len(pdf)), index=pdf.index, dtype="float64")
+        src_pos = pos.where(is_r).ffill()
+        src_gid = gid.where(is_r).ffill()
+        same = src_gid.eq(gid) & src_pos.notna()
+        take = src_pos.fillna(0).astype(int).to_numpy()
         for c in rcols:
-            # gid of the row that supplied each carried-forward value; a value
-            # must not cross its key boundary
-            src_gid = gid.where(pdf[c].notna()).ffill()
-            filled = pdf[c].ffill()
-            same = src_gid.eq(gid)
+            filled = pdf[c].iloc[take].reset_index(drop=True)
+            filled.index = pdf.index
             if pdf[c].dtype == object:
                 # unmatched rows: None so Arrow maps to SQL NULL
                 filled = filled.where(same & filled.notna(), None)

@@ -53,25 +53,40 @@ def canonical_key(text_col: str) -> Column:
 
 
 def shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, out: str = "shingle"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    out: str = "shingle",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle).
+    """Word n-gram shingles per doc: (id, shingle), distinct by default.
 
-    Short docs (< n words) contribute no shingles. The guard must be a
-    ``when``, not ``greatest(…, 0)``: Spark's ``sequence(1, 0)`` is the
-    DESCENDING ``[1, 0]`` and the 0 index crashes ``slice``."""
-    w = words(text_col)
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias(out))
-        .distinct()
+    Plan: posexplode + ``lead`` window + ``concat_ws`` — all whole-stage
+    codegen. The array formulation (``transform`` building each gram via
+    ``slice``/``array_join``) is CodegenFallback-interpreted in Spark and
+    measured several-fold slower despite shuffling nothing; here the one
+    hash(id) exchange feeds every downstream per-doc aggregation anyway.
+    Short docs (< n words) contribute no shingles (their leads are NULL).
+
+    ``distinct=False`` skips the dedup exchange for duplicate-insensitive
+    consumers (MinHash: min() over permuted hashes ignores multiplicity)."""
+    from pyspark.sql import Window
+
+    wdf = df.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("_i", "_w0")
     )
+    win = Window.partitionBy(id_col).orderBy("_i")
+    g = wdf.select(
+        F.col(id_col),
+        "_w0",
+        *[F.lead("_w0", j).over(win).alias(f"_w{j}") for j in range(1, n)],
+    )
+    gram = F.concat_ws(" ", *[F.col(f"_w{j}") for j in range(n)])
+    res = g.where(F.col(f"_w{n - 1}").isNotNull()).select(
+        F.col(id_col), gram.alias(out)
+    )
+    return res.distinct() if distinct else res
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -151,7 +166,9 @@ def minhash_signatures(
     (xxhash64), then perm p = xxhash64(seed+p, base) re-mixes the fixed 8-byte
     base — constant work per perm instead of re-hashing the string num_perm
     times (the dominant cost of the signature pass on long shingles)."""
-    sh = shingles(df, id_col, text_col, n).withColumn(
+    # distinct=False: min() over permuted hashes is multiplicity-insensitive,
+    # so the dedup exchange would be pure cost
+    sh = shingles(df, id_col, text_col, n, distinct=False).withColumn(
         "_h0", F.xxhash64(F.col("shingle"))
     )
     mins = [

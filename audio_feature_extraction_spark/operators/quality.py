@@ -196,31 +196,24 @@ def contamination_overlap(
     """Benchmark-contamination check: count, per corpus doc, how many
     DISTINCT word n-gram shingles it shares with any benchmark doc.
 
-    Plan: both sides shingle to (doc, hash) with per-doc distinct, the
-    benchmark's hash set collapses to DISTINCT hashes and is broadcast, the
-    corpus side inner-joins on hash (inverted index, no cross product) and
-    re-aggregates per doc. Returns (id, overlap) for docs with
-    ``overlap >= min_overlap``."""
-    grams = ngram_array(text_col, n)
+    Plan: both sides shingle to (doc, hash) with per-doc distinct (via the
+    codegen posexplode/lead plan in :func:`dedup.shingles` — not interpreted
+    array lambdas), the benchmark's hash set collapses to DISTINCT hashes
+    and is broadcast, the corpus side inner-joins on hash (inverted index,
+    no cross product) and re-aggregates per doc. Returns (id, overlap) for
+    docs with ``overlap >= min_overlap``."""
+    from audio_feature_extraction_spark.operators.dedup import shingles
 
-    def doc_hashes(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col),
-                F.explode(
-                    F.array_distinct(F.transform(grams, portable_word_hash))
-                ).alias("h"),
-            )
-        )
-
+    corpus_h = shingles(corpus, id_col, text_col, n).select(
+        F.col(id_col), portable_word_hash(F.col("shingle")).alias("h")
+    )
     bench_hashes = F.broadcast(
-        benchmark.select(
-            F.explode(F.transform(grams, portable_word_hash)).alias("h")
-        ).distinct()
+        shingles(benchmark, id_col, text_col, n, distinct=False)
+        .select(portable_word_hash(F.col("shingle")).alias("h"))
+        .distinct()
     )
     return (
-        doc_hashes(corpus)
-        .join(bench_hashes, "h")
+        corpus_h.join(bench_hashes, "h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("overlap"))
         .where(F.col("overlap") >= min_overlap)

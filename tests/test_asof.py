@@ -92,6 +92,35 @@ def test_forward(dfs, strategy):
     check(out, "forward", None)
 
 
+@pytest.mark.parametrize(
+    "strategy", ["window", "salted", "range_merge", "broadcast"]
+)
+def test_null_payload_partner_wins(spark, strategy):
+    """Regression (hypothesis-found): a right row whose PAYLOAD is NULL is
+    still the as-of partner — the join must return its NULL, not resurrect
+    an older non-NULL payload. 'No partner' and 'partner with NULL value'
+    are different answers."""
+    from datetime import datetime
+
+    l = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 0, 0, 1), 0)],
+        schema="k string, ts timestamp, lid int",
+    )
+    r = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 0, 0), 7.0),
+            ("a", datetime(2024, 1, 1, 0, 0, 1), None),
+        ],
+        schema="k string, ts timestamp, rv double",
+    )
+    out = asof_join(l, r, on=["k"], strategy=strategy).toPandas()
+    assert len(out) == 1
+    assert pd.Timestamp(out.matched_ts.iloc[0]) == pd.Timestamp(
+        "2024-01-01 00:00:01"
+    )
+    assert pd.isna(out.rv.iloc[0])
+
+
 @pytest.mark.parametrize("tol", [None, 60.0])
 def test_cogroup_kernel_parity(dfs, tol):
     l, r = dfs
