@@ -147,3 +147,25 @@ def test_token_counts_and_quality(docs, docs_pdf):
         )
     )
     assert (got.msf.to_numpy() == want_msf.to_numpy()).all()
+
+
+def test_first_per_window_boundaries(spark):
+    """Windowed dedup: exact-us bucketing — a row AT the window boundary
+    starts the next window; ties break on the tiebreak column."""
+    from datetime import datetime
+
+    from audio_feature_extraction_spark.operators.dedup import first_per_window
+
+    rows = [
+        (1, 7, datetime(2024, 1, 1, 0, 0, 0)),   # win 0 first
+        (2, 7, datetime(2024, 1, 1, 0, 59, 59)),  # win 0 dup
+        (3, 7, datetime(2024, 1, 1, 1, 0, 0)),   # win 1 first (exact boundary)
+        (5, 7, datetime(2024, 1, 1, 1, 0, 0)),   # tie: higher event_id loses
+        (4, 8, datetime(2024, 1, 1, 0, 30, 0)),  # other key, own window
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = first_per_window(
+        df, keys=["user_id"], ts="ts", window_sec=3600.0, tiebreak=["event_id"]
+    )
+    got = {(r["user_id"], r["event_id"]) for r in out.collect()}
+    assert got == {(7, 1), (7, 3), (8, 4)}
