@@ -1997,6 +1997,29 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def _q_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, 1 h tumbling event-time window) — batch twin
+    of streaming dropDuplicatesWithinWatermark (bounded-state dedup)."""
+    ev = _t(spark, sf_dir, "events")
+    out = _D.first_per_window(
+        ev, keys=["user_id"], ts="ts", window_sec=3600.0, tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "win_start_us")
+
+
+_SQL_WINDOWED_DEDUP = """
+WITH b AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS win_start_us
+  FROM events),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, win_start_us ORDER BY ts, event_id) AS rn
+  FROM b)
+SELECT event_id, user_id, win_start_us FROM r WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -2066,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocab": _q_token_vocab,
         "packed_rollup": _q_packed_rollup,
         "session_token_stats": _q_session_token_stats,
+        "windowed_dedup": _q_windowed_dedup,
     }
 
 
@@ -2138,4 +2162,5 @@ def oracle_sql() -> dict[str, str]:
         "token_vocab": _SQL_TOKEN_VOCAB,
         "packed_rollup": _SQL_PACKED_ROLLUP,
         "session_token_stats": _SQL_SESSION_TOKEN_STATS,
+        "windowed_dedup": _SQL_WINDOWED_DEDUP,
     }

@@ -319,3 +319,38 @@ def simhash_pairs(
         .where(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def first_per_window(
+    df: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    window_sec: float = 3600.0,
+    tiebreak: list[str] | None = None,
+    out: str = "win_start_us",
+) -> DataFrame:
+    """Windowed dedup: keep the FIRST row per (keys × tumbling event-time
+    window) — the batch twin of streaming dropDuplicatesWithinWatermark
+    (bounded-state dedup; the reference analog is one-feature-row-per-
+    utterance-per-pass, `04_…/feature_extractor.py:698-718`).
+
+    The window id is exact int64 µs arithmetic (``ts_us − ts_us mod w``),
+    never float division (float floor can misbucket at window boundaries,
+    and the DuckDB oracle must land every row in the same bucket). One
+    window pass partitioned by (keys, window) — at scale this shuffles each
+    key's traffic once and keeps per-task state at one window's rows."""
+    from pyspark.sql import Window as _Win
+
+    from audio_feature_extraction_spark.operators.timeutil import ts_micros
+
+    win_us = int(round(window_sec * 1_000_000))
+    us = ts_micros(ts)
+    start = (us - F.pmod(us, F.lit(win_us))).alias(out)
+    with_win = df.withColumn(out, start)
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = _Win.partitionBy(*keys, out).orderBy(*order)
+    return (
+        with_win.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -118,7 +118,19 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            spdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            # plan gate: no row-at-a-time Python UDFs, no cross products —
+            # anywhere, ever (ArrowEvalPython / MapInPandas ARE allowed:
+            # those are the sanctioned vectorized boundaries)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            banned = [
+                p for p in ("BatchEvalPython", "CartesianProduct") if p in plan
+            ]
+            if banned:
+                print(f"FAIL  {name}: banned plan node(s) {banned}")
+                n_fail += 1
+                continue
+            spdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
