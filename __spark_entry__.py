@@ -1997,6 +1997,67 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def _q_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value ranking family (§2.5): percent_rank, cume_dist and
+    quartile ntile over (user, value, event_id-tiebroken) order — one
+    window pass, standard SQL semantics shared by both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_SQL_RANK_STATS = """
+SELECT event_id, user_id,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cume,
+  CAST(NTILE(4) OVER w AS INT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+"""
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON composition both directions: parse the props JSON column
+    (get_json_object → typed), aggregate, and re-emit a canonical compact
+    JSON summary string (to_json(struct(...)) — byte-identical to DuckDB's
+    json_object, both engines print compact key-insertion-order JSON)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    agg = ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+    return agg.withColumn(
+        "summary",
+        F.to_json(
+            F.struct(F.col("event_type").alias("t"), F.col("max_k").alias("mx"))
+        ),
+    )
+
+
+_SQL_JSON_PROPS = """
+WITH k AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  ROUND(AVG(k), 6) AS avg_k,
+  MAX(k) AS max_k,
+  CAST(json_object('t', event_type, 'mx', MAX(k)) AS VARCHAR) AS summary
+FROM k GROUP BY event_type
+"""
+
+
 def _q_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First event per (user, 1 h tumbling event-time window) — batch twin
     of streaming dropDuplicatesWithinWatermark (bounded-state dedup)."""
@@ -2090,6 +2151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_rollup": _q_packed_rollup,
         "session_token_stats": _q_session_token_stats,
         "windowed_dedup": _q_windowed_dedup,
+        "json_props": _q_json_props,
+        "rank_stats": _q_rank_stats,
     }
 
 
@@ -2163,4 +2226,6 @@ def oracle_sql() -> dict[str, str]:
         "packed_rollup": _SQL_PACKED_ROLLUP,
         "session_token_stats": _SQL_SESSION_TOKEN_STATS,
         "windowed_dedup": _SQL_WINDOWED_DEDUP,
+        "json_props": _SQL_JSON_PROPS,
+        "rank_stats": _SQL_RANK_STATS,
     }

@@ -293,6 +293,12 @@ SPARK_GRAFT_SCALE_EXTRA_N, SPARK_GRAFT_SCALE_DOCS,
 SPARK_GRAFT_SCALE_REPEATS, SPARK_GRAFT_SCALE_ROUNDS).
 """
         )
+        # the headline-query bench narrative lives in its own file so a
+        # scaling re-run can't clobber it; re-attach it to the report
+        headline = os.path.join(REPO, "BENCH", "HEADLINE.md")
+        if os.path.exists(headline):
+            with open(headline) as h:
+                f.write("\n" + h.read())
 
 
 if __name__ == "__main__":
