@@ -9,11 +9,12 @@ web-corpus repetition heuristics (fraction of duplicated n-grams, dominance
 of the most frequent word) used to drop boilerplate/spam before training.
 
 Scale notes (100 TB):
-- n-gram repetition ratios are pure array expressions per row — zero
-  shuffles, whole-stage codegen end-to-end.
-- most-frequent-word dominance is explode → partial-agg groupBy → window
-  top-1: one shuffle keyed by (doc, word), map-side combine takes the
-  explode blow-up back down before the exchange.
+- the repetition report (:func:`repetition_stats`) is one posexplode +
+  lead-window exchange on hash(doc); the trigram→bigram→unigram rollups and
+  per-doc joins all reuse that partitioning (zero further exchanges). The
+  per-row array formulation (:func:`duplicate_ngram_fraction`) is kept as
+  the column-level API but higher-order lambdas are interpreted in Spark —
+  prefer the explode plan in bulk paths.
 - contamination is an inverted-index equi-join on shingle hashes with the
   (small) benchmark side broadcast — never an all-pairs comparison; per-doc
   overlap counts come from one more keyed agg.
@@ -38,7 +39,6 @@ from audio_feature_extraction_spark.operators.dedup import (
 )
 
 __all__ = [
-    "ngram_array",
     "duplicate_ngram_fraction",
     "repetition_stats",
     "top_word_stats",
@@ -47,22 +47,6 @@ __all__ = [
     "stratified_sample",
     "pow2_length_bucket",
 ]
-
-
-def ngram_array(text_col: str, n: int) -> Column:
-    """Word n-grams of a whitespace-tokenized doc as an array<string>.
-    Empty array when the doc has fewer than ``n`` words. (The short-doc
-    guard must be a ``when``, not ``greatest(…, 0)``: Spark's ``sequence``
-    with start > stop generates a DESCENDING sequence, so ``sequence(1, 0)``
-    is ``[1, 0]`` and the 0 index crashes ``slice``.)"""
-    w = words(text_col)
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def duplicate_ngram_fraction(text_col: str, n: int) -> Column:
