@@ -1997,6 +1997,34 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def _q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS twin of ann_cosine_topk: broadcast query matrix, one
+    matmul per corpus batch, margin-guarded per-batch cut, global window
+    top-k. Rank on round(cos,6) + id on both engines (summation-order
+    robustness — see similarity.brute_force_topk_arrow)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _S.brute_force_topk_arrow(emb, queries, k=10)
+
+
+_SQL_ANN_TOPK_ARROW = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+    ROUND(list_sum(list_transform(list_zip(q.qe, v.e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+       * sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6) AS cos
+  FROM v, q WHERE v.vec_id != q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cos
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _q_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user value ranking family (§2.5): percent_rank, cume_dist and
     quartile ntile over (user, value, event_id-tiebroken) order — one
@@ -2153,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_dedup": _q_windowed_dedup,
         "json_props": _q_json_props,
         "rank_stats": _q_rank_stats,
+        "ann_topk_arrow": _q_ann_topk_arrow,
     }
 
 
@@ -2228,4 +2257,5 @@ def oracle_sql() -> dict[str, str]:
         "windowed_dedup": _SQL_WINDOWED_DEDUP,
         "json_props": _SQL_JSON_PROPS,
         "rank_stats": _SQL_RANK_STATS,
+        "ann_topk_arrow": _SQL_ANN_TOPK_ARROW,
     }

@@ -269,3 +269,77 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow kernel: the bulk-path twin of
+    :func:`brute_force_topk`.
+
+    The expression path (zip_with + aggregate) is CodegenFallback-interpreted
+    per PAIR — O(n_corpus × n_queries) interpreted dim-length loops. Here the
+    (small, by contract) query set is collected once, L2-normalized into a
+    float64 matrix and broadcast; each corpus Arrow batch becomes one BLAS
+    matmul (batch × dim) @ (dim × n_queries), per-batch candidates are cut to
+    the top-k **with a 1e-6 cosine margin** (so the final rounded-cosine
+    ranking can never lose a boundary tie the batch cut dropped), and the
+    global exact top-k is a per-query window over ≤ (k+ties) × n_batches
+    candidate rows. The corpus is never shuffled.
+
+    Ranking is by round(cos, 6) desc, then neighbor id — on BOTH engines —
+    because BLAS and sequential summation differ at ~1e-15 and an exact-double
+    order would be summation-order-dependent."""
+    import pandas as pd
+
+    qp = queries.select(id_col, vec_col).toPandas()
+    Q = np.stack(qp[vec_col].to_numpy()).astype(np.float64)
+    qids = qp[id_col].to_numpy().astype(np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, Qn))
+    out_schema = f"{query_id} long, neighbor_id long, cos double"
+
+    def score(batches):
+        q_ids, q_mat = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ q_mat.T  # (n_batch, n_queries)
+            nids = pdf[id_col].to_numpy().astype(np.int64)
+            qs, ns, cs = [], [], []
+            for j in range(S.shape[1]):
+                col = S[:, j].copy()
+                col[nids == q_ids[j]] = -np.inf  # self-exclusion
+                kk = min(k, int(np.isfinite(col).sum()))
+                if kk == 0:
+                    continue
+                thresh = np.partition(col, -kk)[-kk] - 1e-6
+                m = col >= thresh
+                qs.append(np.full(int(m.sum()), q_ids[j], dtype=np.int64))
+                ns.append(nids[m])
+                cs.append(col[m])
+            if qs:
+                yield pd.DataFrame(
+                    {
+                        query_id: np.concatenate(qs),
+                        "neighbor_id": np.concatenate(ns),
+                        "cos": np.concatenate(cs),
+                    }
+                )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

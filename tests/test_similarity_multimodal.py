@@ -41,6 +41,27 @@ def test_brute_force_topk(emb, emb_pdf):
     assert got.cos.between(-1.0, 1.0).all()
 
 
+def test_brute_force_topk_arrow_parity(emb):
+    """The Arrow/BLAS bulk path must return the same neighbor sets and
+    rounded cosines as the expression path (ranking is round(cos,6)+id on
+    the Arrow side, so compare as sets per query with cosine values)."""
+    queries = emb.where(F.col("vec_id") < 5)
+    a = S.brute_force_topk(emb, queries, k=10).toPandas()
+    b = S.brute_force_topk_arrow(emb, queries, k=10).toPandas()
+    for qi in range(5):
+        ga = a[a.query_id == qi].sort_values("neighbor_id")
+        gb = b[b.query_id == qi].sort_values("neighbor_id")
+        assert ga.neighbor_id.tolist() == gb.neighbor_id.tolist(), qi
+        assert np.allclose(ga.cos.to_numpy(), gb.cos.to_numpy(), atol=2e-6)
+
+
+def test_brute_force_topk_arrow_excludes_self(emb):
+    queries = emb.where(F.col("vec_id") < 5)
+    out = S.brute_force_topk_arrow(emb, queries, k=10).toPandas()
+    assert not (out.query_id == out.neighbor_id).any()
+    assert (out.groupby("query_id").size() == 10).all()
+
+
 def test_lsh_topk_internal_consistency(emb, emb_pdf):
     """On uniformly-random embeddings LSH recall is data-limited; the
     contract that must always hold: within the candidate set it returns, the
