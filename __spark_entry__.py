@@ -1997,6 +1997,76 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+PACK_CAP = 512  # tokens per packed training batch (n_tok is 2..32 here)
+
+
+def _q_packed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-facing packed batches: bin-pack the pre-tokenized sequences
+    by cumulative n_tok per source, then emit per (source, bin) the packed
+    stream's integrity fingerprint — md5 over the concatenated token CSVs in
+    (doc_id, seq) order — plus row/token totals. The fingerprint is the
+    per-partition lineage checksum a resumable 10^12-sequence run verifies
+    against (north rule: per-partition lineage manifests; the checkpoint
+    sink computes the same kind of digest)."""
+    seq = _sequences_from_events(spark, sf_dir)
+    packed = with_bin_id(
+        seq,
+        payload_col="n_tok",
+        order_cols=["doc_id", "seq"],
+        group_cols=["source"],
+        target_payload_per_bin=PACK_CAP,
+        mix=False,
+        out="bin_id",
+    )
+    csv = F.array_join(F.col("tokens").cast("array<string>"), ",")
+    return (
+        packed.withColumn("_csv", csv)
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tok").cast("long").alias("batch_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("doc_id"), F.col("seq"), F.col("_csv")
+                                )
+                            )
+                        ),
+                        lambda s: s["_csv"],
+                    ),
+                    ",",
+                )
+            ).alias("pack_md5"),
+        )
+    )
+
+
+_SQL_PACKED_TOKENS = f"""
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(event_id AS INT) AS seq,
+         CAST(event_id % 31 + 2 AS INT) AS n_tok,
+         'src' || CAST(user_id % 4 AS VARCHAR) AS source
+  FROM events),
+packed AS (
+  SELECT *,
+    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id, seq
+                                 ROWS UNBOUNDED PRECEDING) - 1)
+               / {PACK_CAP}) AS INT) AS bin_id,
+    array_to_string(list_transform(generate_series(1, n_tok),
+                                   x -> CAST(x AS VARCHAR)), ',') AS csv
+  FROM s)
+SELECT source, bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+  CAST(SUM(n_tok) AS BIGINT) AS batch_tokens,
+  md5(string_agg(csv, ',' ORDER BY doc_id, seq)) AS pack_md5
+FROM packed GROUP BY source, bin_id
+"""
+
+
 def _q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/BLAS twin of ann_cosine_topk: broadcast query matrix, one
     matmul per corpus batch, margin-guarded per-batch cut, global window
@@ -2182,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "rank_stats": _q_rank_stats,
         "ann_topk_arrow": _q_ann_topk_arrow,
+        "packed_tokens": _q_packed_tokens,
     }
 
 
@@ -2258,4 +2329,5 @@ def oracle_sql() -> dict[str, str]:
         "json_props": _SQL_JSON_PROPS,
         "rank_stats": _SQL_RANK_STATS,
         "ann_topk_arrow": _SQL_ANN_TOPK_ARROW,
+        "packed_tokens": _SQL_PACKED_TOKENS,
     }

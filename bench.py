@@ -48,6 +48,8 @@ HEADLINE = [
     "token_vocab",
     "doc_repetition",
     "contamination",
+    "packed_tokens",
+    "ann_topk_arrow",
 ]
 
 
