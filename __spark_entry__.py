@@ -2203,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_salted": _q_asof("salted"),
         "asof_range_merge": _q_asof("range_merge"),
         "asof_broadcast": _q_asof("broadcast"),
+        "asof_broadcast_arrow": _q_asof("broadcast_arrow"),
         "asof_forward": _q_asof("window", direction="forward"),
         "equi_join_fanout": _q_equi_join_fanout,
         "anti_join": _q_anti_join,
@@ -2280,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_salted": _SQL_ASOF_BACKWARD,
         "asof_range_merge": _SQL_ASOF_BACKWARD,
         "asof_broadcast": _SQL_ASOF_BACKWARD,
+        "asof_broadcast_arrow": _SQL_ASOF_BACKWARD,
         "asof_forward": _SQL_ASOF_FORWARD,
         "equi_join_fanout": _SQL_EQUI_JOIN_FANOUT,
         "anti_join": _SQL_ANTI_JOIN,

@@ -77,7 +77,7 @@ def check(out_pdf, direction="backward", tol=None):
     assert ((om == em) | (pd.isna(om) & pd.isna(em))).all()
 
 
-@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge", "broadcast"])
+@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge", "broadcast", "broadcast_arrow"])
 @pytest.mark.parametrize("tol", [None, 60.0])
 def test_backward(dfs, strategy, tol):
     l, r = dfs
@@ -85,7 +85,7 @@ def test_backward(dfs, strategy, tol):
     check(out, "backward", tol)
 
 
-@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge", "broadcast"])
+@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge", "broadcast", "broadcast_arrow"])
 def test_forward(dfs, strategy):
     l, r = dfs
     out = asof_join(l, r, on=["k"], direction="forward", strategy=strategy).toPandas()
@@ -93,7 +93,7 @@ def test_forward(dfs, strategy):
 
 
 @pytest.mark.parametrize(
-    "strategy", ["window", "salted", "range_merge", "broadcast"]
+    "strategy", ["window", "salted", "range_merge", "broadcast", "broadcast_arrow"]
 )
 def test_null_payload_partner_wins(spark, strategy):
     """Regression (hypothesis-found): a right row whose PAYLOAD is NULL is
@@ -128,7 +128,7 @@ def test_cogroup_kernel_parity(dfs, tol):
     check(out, "backward", tol)
 
 
-@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge", "broadcast"])
+@pytest.mark.parametrize("strategy", ["window", "salted", "range_merge", "broadcast", "broadcast_arrow"])
 def test_null_key_equivalence(spark, strategy):
     """NULL join keys must behave identically across all four physical
     strategies: NULL-key left rows match the NULL-key right history (the
