@@ -1997,6 +1997,54 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def _q_region_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-flavored 5-way star join (J1 breadth: lineitem ⋈ supplier ⋈
+    nation ⋈ region ⋈ part): revenue per (region, brand). All three
+    dimension chains are broadcast (supplier/nation/region/part are dims);
+    the fact table streams through one hash-agg — at 100 TB the only
+    exchange is the final (region, brand) combine. Exact DECIMAL money."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = (
+        d2("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    dim = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "r_name")
+    )
+    return (
+        l.join(dim, l.l_suppkey == dim.s_suppkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.sum(d2("l_quantity")).cast("double").alias("qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_REGION_PART_REVENUE = """
+SELECT r_name, p_brand,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+       AS revenue,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY r_name, p_brand
+"""
+
+
 PACK_CAP = 512  # tokens per packed training batch (n_tok is 2..32 here)
 
 
@@ -2254,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_stats": _q_rank_stats,
         "ann_topk_arrow": _q_ann_topk_arrow,
         "packed_tokens": _q_packed_tokens,
+        "region_part_revenue": _q_region_part_revenue,
     }
 
 
@@ -2332,4 +2381,5 @@ def oracle_sql() -> dict[str, str]:
         "rank_stats": _SQL_RANK_STATS,
         "ann_topk_arrow": _SQL_ANN_TOPK_ARROW,
         "packed_tokens": _SQL_PACKED_TOKENS,
+        "region_part_revenue": _SQL_REGION_PART_REVENUE,
     }
