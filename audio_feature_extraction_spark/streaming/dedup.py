@@ -1,0 +1,55 @@
+"""Streaming dedup (SURVEY.md §2.9): bounded-state duplicate suppression.
+
+Streaming twin of the batch :func:`operators.dedup.first_per_window`
+(one-feature-row-per-utterance-per-pass, the reference's re-run guard
+`04_feature_extraction_experiment/feature_extractor.py:698-718`). Two forms:
+
+- :func:`stream_dedup_first` — keep the first-ARRIVING row per
+  (keys × tumbling event-time window). State is one row per open
+  (key, window); the watermark proves old windows complete and evicts them,
+  so state is bounded no matter how long the stream runs.
+- :func:`stream_dedup_within_watermark` — Spark's
+  ``dropDuplicatesWithinWatermark``: suppress key repeats within the
+  watermark delay without window alignment (dedup on exact-key re-delivery,
+  e.g. at-least-once sources).
+
+Arrival order vs event order: streaming keeps the first row to ARRIVE;
+the batch twin keeps the first by EVENT TIME. They agree exactly when each
+key's rows arrive in event-time order (one source partition per key, or a
+sorted replay); otherwise the streaming result is one representative per
+(key, window) — the parity test asserts both properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_dedup_first(
+    stream: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    out: str = "win_start",
+) -> DataFrame:
+    """First arriving row per (keys × tumbling window); append-mode safe."""
+    win = F.window(F.col(ts), window)
+    return (
+        stream.withWatermark(ts, watermark)
+        .withColumn(out, win.start)
+        .dropDuplicates([*keys, out])
+    )
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Suppress exact-key duplicates arriving within the watermark delay."""
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

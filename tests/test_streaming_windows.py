@@ -198,3 +198,72 @@ def test_stream_interval_join_matches_batch(spark, tiny_df, tmp_path):
     w = want[key].sort_values(key).reset_index(drop=True)
     assert len(g) == len(w) and len(g) > 0
     pd.testing.assert_frame_equal(g, w)
+
+
+def test_stream_dedup_first_matches_batch_when_ordered(spark, tiny_df, tmp_path):
+    """Single-partition event-time-ordered replay: streaming first-per-window
+    must keep exactly the rows the batch first_per_window keeps."""
+    from audio_feature_extraction_spark.operators.dedup import first_per_window
+    from audio_feature_extraction_spark.streaming.dedup import stream_dedup_first
+
+    seq, _ = tiny_df
+    src = str(tmp_path / "dedup_src")
+    (
+        seq.select("doc_id", "ts", "n_tok", "value")
+        .orderBy("ts", "n_tok")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = stream_dedup_first(
+        stream, keys=["doc_id"], ts="ts", window="60 seconds", watermark="0 seconds"
+    )
+    got = (
+        _drain(out, str(tmp_path / "ckd"), "dedup1", "append")
+        .toPandas()
+        .sort_values(["doc_id", "win_start"])
+        .reset_index(drop=True)
+    )
+    batch = spark.read.parquet(src)
+    want = (
+        first_per_window(batch, keys=["doc_id"], ts="ts", window_sec=60.0)
+        .toPandas()
+        .sort_values(["doc_id", "win_start_us"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (
+        pd.to_datetime(got.win_start).astype("int64") // 1000
+        == want.win_start_us.to_numpy() // 1  # both µs-exact window starts
+    ).all() or (
+        pd.to_datetime(got.win_start).astype("datetime64[us]").astype("int64")
+        == want.win_start_us.to_numpy()
+    ).all()
+    assert (got.ts.to_numpy() == want.ts.to_numpy()).all()
+    gv, wv = got.value.to_numpy(), want.value.to_numpy()
+    import numpy as np
+
+    assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
+
+
+def test_stream_dedup_one_row_per_window(spark, tiny_df, tmp_path):
+    """Multi-partition arrival: exactly ONE survivor per (key, window), and
+    the (key, window) set equals the batch distinct set."""
+    from audio_feature_extraction_spark.streaming.dedup import stream_dedup_first
+
+    seq, _ = tiny_df
+    src = str(tmp_path / "dedup_src2")
+    seq.select("doc_id", "ts", "n_tok", "value").repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = stream_dedup_first(
+        stream, keys=["doc_id"], ts="ts", window="60 seconds", watermark="0 seconds"
+    )
+    got = _drain(out, str(tmp_path / "ckd2"), "dedup2", "append").toPandas()
+    assert not got.duplicated(["doc_id", "win_start"]).any()
+    batch = spark.read.parquet(src).toPandas()
+    want_pairs = {
+        (d, pd.Timestamp(t).floor("60s"))
+        for d, t in zip(batch.doc_id, batch.ts)
+    }
+    got_pairs = {(d, pd.Timestamp(t)) for d, t in zip(got.doc_id, got.win_start)}
+    assert got_pairs == want_pairs
