@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -135,3 +136,78 @@ def test_asof_matches_pandas_merge_asof(spark, lrows, rrows, tol, strategy):
     assert ((gm == em) | (pd.isna(gm) & pd.isna(em))).all()
     gv, ev = got.rv.to_numpy(dtype=float), want.rv.to_numpy(dtype=float)
     assert ((gv == ev) | (np.isnan(gv) & np.isnan(ev))).all()
+
+
+@given(rows=rows_strategy, win=st.sampled_from([30, 60, 300]))
+@SETTINGS
+def test_first_per_window_matches_pandas(spark, rows, win):
+    """Windowed dedup vs pandas: first row by (ts, rid) per (key, bucket),
+    bucket = exact integer floor of epoch seconds to the window."""
+    from audio_feature_extraction_spark.operators.dedup import first_per_window
+
+    pdf = _to_pdf(rows)
+    got = (
+        first_per_window(
+            _to_sdf(spark, pdf),
+            keys=["k"],
+            ts="ts",
+            window_sec=float(win),
+            tiebreak=["rid"],
+        )
+        .toPandas()
+        .sort_values("rid")
+    )
+    pdf2 = pdf.copy()
+    pdf2["bucket"] = (pdf2.sec // win) * win
+    want = (
+        pdf2.sort_values(["ts", "rid"], kind="mergesort")
+        .groupby(["k", "bucket"], as_index=False)
+        .first()
+    )
+    assert sorted(got.rid.tolist()) == sorted(want.rid.tolist())
+    # window-start column is exact µs arithmetic
+    assert (
+        got.sort_values("rid").win_start_us.to_numpy()
+        == (pdf.set_index("rid").loc[got.rid].sec.to_numpy() // win) * win * 1_000_000
+    ).all()
+
+
+words_strategy = st.lists(
+    st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=words_strategy)
+@SETTINGS
+def test_repetition_stats_matches_pandas(spark, docs):
+    """repetition_stats vs a direct pandas n-gram computation on random
+    word lists (heavy repetition by construction: 4-word vocab)."""
+    from audio_feature_extraction_spark.operators.quality import repetition_stats
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": [" ".join(d) for d in docs]}
+    )
+    sdf = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict() for r in repetition_stats(sdf).collect()
+    }
+    for i, ws in enumerate(docs):
+        g2 = [tuple(ws[j : j + 2]) for j in range(len(ws) - 1)]
+        g3 = [tuple(ws[j : j + 3]) for j in range(len(ws) - 2)]
+        exp2 = None if not g2 else round(1.0 - len(set(g2)) / len(g2), 6)
+        exp3 = None if not g3 else round(1.0 - len(set(g3)) / len(g3), 6)
+        counts = pd.Series(ws).value_counts()
+        top_n = counts.max()
+        top_w = min(w for w, c in counts.items() if c == top_n)
+        row = got[i]
+        for got_v, exp_v in ((row["dup2_frac"], exp2), (row["dup3_frac"], exp3)):
+            if exp_v is None:
+                assert got_v is None
+            else:
+                assert got_v == pytest.approx(exp_v, abs=1e-6)
+        assert row["top_word"] == top_w and row["top_word_count"] == top_n
+        assert row["top_word_frac"] == pytest.approx(
+            round(top_n / len(ws), 6), abs=1e-6
+        )
