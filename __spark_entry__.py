@@ -1997,6 +1997,47 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def _q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions split into fixed panes when they exceed a max duration
+    (4 h cap on 8 h-gap sessions): one shuffle, exact-µs pane arithmetic."""
+    from audio_feature_extraction_spark.operators.sessionize import (
+        with_capped_session_id,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = with_capped_session_id(
+        ev,
+        keys=["user_id"],
+        ts="ts",
+        order=["ts", "event_id"],
+        gap_sec=EV_GAP_SEC,
+        max_duration_sec=14_400.0,
+    )
+    return out.select("event_id", "user_id", "session_id", "sub_session")
+
+
+_SQL_CAPPED_SESSIONS = f"""
+WITH gaps AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER ({_WU}) > {EV_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT event_id, user_id, ts,
+    CAST(SUM(is_new) OVER ({_WU} ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS session_id
+  FROM gaps),
+anchored AS (
+  SELECT *,
+    epoch_us(ts) - MIN(epoch_us(ts))
+      OVER (PARTITION BY user_id, session_id) AS diff
+  FROM sess)
+SELECT event_id, user_id, session_id,
+  CAST((diff - (diff % 14400000000)) / 14400000000 AS BIGINT) AS sub_session
+FROM anchored
+"""
+
+
 def _q_region_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-flavored 5-way star join (J1 breadth: lineitem ⋈ supplier ⋈
     nation ⋈ region ⋈ part): revenue per (region, brand). All three
@@ -2303,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_arrow": _q_ann_topk_arrow,
         "packed_tokens": _q_packed_tokens,
         "region_part_revenue": _q_region_part_revenue,
+        "capped_sessions": _q_capped_sessions,
     }
 
 
@@ -2382,4 +2424,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_arrow": _SQL_ANN_TOPK_ARROW,
         "packed_tokens": _SQL_PACKED_TOKENS,
         "region_part_revenue": _SQL_REGION_PART_REVENUE,
+        "capped_sessions": _SQL_CAPPED_SESSIONS,
     }

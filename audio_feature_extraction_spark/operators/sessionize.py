@@ -63,3 +63,44 @@ def session_bounds(
     if min_rows is not None:
         agg = agg.where(F.col("n_rows") >= F.lit(int(min_rows)))
     return agg
+
+
+def with_capped_session_id(
+    df: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    order: list[str] | None = None,
+    gap_sec: float = 30.0,
+    max_duration_sec: float = 3600.0,
+    out: str = "session_id",
+    sub_out: str = "sub_session",
+) -> DataFrame:
+    """Gap sessionization with a maximum session duration: gap-sessions
+    longer than ``max_duration_sec`` are split into fixed-width sub-sessions
+    anchored at the session's first event.
+
+    Semantics: ``sub = floor((ts − session_start) / cap)`` — fixed panes from
+    the anchor, NOT iterative re-anchoring at each split row (that form is a
+    sequential recurrence with no bounded-window expression; panes are the
+    standard engine semantics — Spark's own ``session_window`` has no cap at
+    all). All arithmetic is exact int64 µs.
+
+    One shuffle: the gap window, the session-start window, and the pane
+    derivation all share the hash(keys) partitioning."""
+    order = order or [ts]
+    base = with_session_id(
+        df, keys, ts=ts, order=order, gap_sec=gap_sec, out="__gap_sid"
+    )
+    w = Window.partitionBy(*keys, "__gap_sid")
+    start_us = F.min(ts_micros(ts)).over(w)
+    cap_us = int(round(max_duration_sec * 1_000_000))
+    # exact pane index: strip the remainder FIRST so the division is an
+    # exact-multiple / divisor (IEEE-exact) — floor(float_div) can misbucket
+    # a row sitting exactly on a pane boundary
+    diff = ts_micros(ts) - start_us
+    sub = ((diff - F.pmod(diff, F.lit(cap_us))) / F.lit(cap_us)).cast("long")
+    return (
+        base.withColumn(sub_out, sub)
+        .withColumn(out, F.col("__gap_sid"))
+        .drop("__gap_sid")
+    )

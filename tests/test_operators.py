@@ -163,3 +163,33 @@ def test_clip(df):
     got = col_np(df.withColumn("v", locf("x", wspec())), clip("v", -1.0, 2.0))
     v = np.array([3, 3, 1, 1, 1, 4, -2, -2.0])
     assert np.allclose(got, np.clip(v, -1, 2))
+
+
+def test_capped_session_panes(spark):
+    """Sessions longer than the cap split into fixed panes from the anchor;
+    a row exactly ON a pane boundary starts the next pane (exact-us)."""
+    from datetime import datetime
+
+    from audio_feature_extraction_spark.operators.sessionize import (
+        with_capped_session_id,
+    )
+
+    rows = [
+        # one gap-session (gaps < 100s), spanning 250s with 100s cap
+        (1, 7, datetime(2024, 1, 1, 0, 0, 0)),    # pane 0 (anchor)
+        (2, 7, datetime(2024, 1, 1, 0, 1, 39)),   # +99s  pane 0
+        (3, 7, datetime(2024, 1, 1, 0, 1, 40)),   # +100s pane 1 (boundary)
+        (4, 7, datetime(2024, 1, 1, 0, 3, 19)),   # +199s pane 1
+        (5, 7, datetime(2024, 1, 1, 0, 4, 10)),   # +250s pane 2
+        # gap > 100s -> new gap-session, anchor resets
+        (6, 7, datetime(2024, 1, 1, 1, 0, 0)),    # session 1 pane 0
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = with_capped_session_id(
+        df, keys=["user_id"], ts="ts", order=["ts", "event_id"],
+        gap_sec=100.0, max_duration_sec=100.0,
+    )
+    got = {
+        r["event_id"]: (r["session_id"], r["sub_session"]) for r in out.collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 0), 3: (0, 1), 4: (0, 1), 5: (0, 2), 6: (1, 0)}
