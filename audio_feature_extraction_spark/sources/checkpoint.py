@@ -124,18 +124,33 @@ class CheckpointTable:
 
     # ------------------------------------------------------------- read
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Union of all committed snapshots (uncommitted data is invisible)."""
+    def _committed_as_of(self, as_of_snapshot: int | None) -> list[int]:
         ids = self.committed_snapshots()
+        if as_of_snapshot is not None:
+            ids = [i for i in ids if i <= as_of_snapshot]
         if not ids:
-            raise FileNotFoundError(f"no committed snapshots under {self.base}")
+            raise FileNotFoundError(
+                f"no committed snapshots under {self.base}"
+                + (f" at or before snapshot {as_of_snapshot}"
+                   if as_of_snapshot is not None else "")
+            )
+        return ids
+
+    def read(
+        self, spark: SparkSession, as_of_snapshot: int | None = None
+    ) -> DataFrame:
+        """Union of committed snapshots (uncommitted data is invisible).
+        ``as_of_snapshot`` is the Iceberg ``VERSION AS OF`` analog: read the
+        table exactly as it stood after that snapshot committed — time travel
+        is free because snapshots are append-only immutable dirs."""
+        ids = self._committed_as_of(as_of_snapshot)
         paths = [self._snap_path(self.data_dir, i) for i in ids]
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
-    def read_manifest(self, spark: SparkSession) -> DataFrame:
-        ids = self.committed_snapshots()
-        if not ids:
-            raise FileNotFoundError(f"no committed snapshots under {self.base}")
+    def read_manifest(
+        self, spark: SparkSession, as_of_snapshot: int | None = None
+    ) -> DataFrame:
+        ids = self._committed_as_of(as_of_snapshot)
         paths = [self._snap_path(self.manifest_dir, i) for i in ids]
         return spark.read.option("basePath", self.manifest_dir).parquet(*paths)
 

@@ -69,3 +69,23 @@ def test_resume_is_byte_identical(spark, tiny_df, ckpt, tmp_path):
 
     # resume on a complete table is a no-op
     assert ckpt.remaining(df, key_cols=["doc_id", "seq"]).count() == 0
+
+
+def test_time_travel_read(spark, tiny_df, tmp_path):
+    """VERSION AS OF analog: as_of_snapshot reads the table exactly as it
+    stood after that snapshot committed; later snapshots are invisible."""
+    import pytest
+
+    tbl = CheckpointTable(str(tmp_path / "tt"))
+    df = _docs(tiny_df)
+    a = df.where(F.col("doc_id") < "doc00000020")
+    b = df.where(F.col("doc_id") >= "doc00000020")
+    tbl.write_snapshot(a, key_cols=["doc_id", "seq"])
+    tbl.write_snapshot(b, key_cols=["doc_id", "seq"])
+    assert tbl.read(spark, as_of_snapshot=0).count() == a.count()
+    assert tbl.read(spark, as_of_snapshot=1).count() == df.count()
+    assert tbl.read(spark).count() == df.count()
+    m0 = tbl.read_manifest(spark, as_of_snapshot=0)
+    assert m0.select("snapshot_id").distinct().collect() == [(0,)]
+    with pytest.raises(FileNotFoundError):
+        tbl.read(spark, as_of_snapshot=-1)
