@@ -1846,6 +1846,26 @@ WHERE {bucket} < (CASE {cases} ELSE {int(_SAMPLE_DEFAULT * 10000)} END)
 """
 
 
+def _q_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size eval-set draw: exactly 3 docs per (source) stratum in
+    deterministic md5-hash order — same rows on any engine/layout."""
+    d = _t(spark, sf_dir, "documents")
+    out = _Q.take_per_stratum(d, "doc_id", "source", 3, out_rank="draw_rank")
+    return out.select("source", "draw_rank", "doc_id", "lang")
+
+
+def _sql_eval_sample() -> str:
+    h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS draw_rank
+  FROM documents)
+SELECT source, CAST(draw_rank AS INT) AS draw_rank, doc_id, lang
+FROM ranked WHERE draw_rank <= 3
+"""
+
+
 def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length histogram for batch-shape planning: power-of-two
     n_chars buckets per source (bit-exact bucket labels)."""
@@ -2345,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_tokens": _q_packed_tokens,
         "region_part_revenue": _q_region_part_revenue,
         "capped_sessions": _q_capped_sessions,
+        "eval_sample": _q_eval_sample,
     }
 
 
@@ -2425,4 +2446,5 @@ def oracle_sql() -> dict[str, str]:
         "packed_tokens": _SQL_PACKED_TOKENS,
         "region_part_revenue": _SQL_REGION_PART_REVENUE,
         "capped_sessions": _SQL_CAPPED_SESSIONS,
+        "eval_sample": _sql_eval_sample(),
     }

@@ -45,6 +45,7 @@ __all__ = [
     "contamination_overlap",
     "hash_bucket",
     "stratified_sample",
+    "take_per_stratum",
     "pow2_length_bucket",
 ]
 
@@ -232,6 +233,31 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(rate * buckets))
         ).otherwise(thresh)
     return df.where(b < thresh)
+
+
+def take_per_stratum(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    out_rank: str | None = None,
+) -> DataFrame:
+    """EXACT-count deterministic sampling: the first ``n`` rows per stratum
+    in md5-hash order of the key. Complements :func:`stratified_sample`
+    (rate-based, zero-shuffle) when a fixed-size sample is required (eval
+    sets, human-review batches): same rows on every engine and partition
+    layout, one shuffle on the stratum key, state per task = one heap of n.
+
+    Ties are impossible (hash of a unique key), so the selection is total."""
+    w = Window.partitionBy(strata_col).orderBy(
+        portable_word_hash(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    ranked = df.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= n_per_stratum
+    )
+    if out_rank:
+        return ranked.withColumnRenamed("_rk", out_rank)
+    return ranked.drop("_rk")
 
 
 def pow2_length_bucket(n_col: Column) -> Column:

@@ -116,3 +116,23 @@ def test_broadcast_asof_never_shuffles_left(tiny_df):
     # exactly one hash exchange: the slim right-side groupBy. The left side
     # goes scan -> project -> BroadcastHashJoin with no shuffle.
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_repetition_stats_exchanges_only_on_doc_id(spark):
+    """The trigram->bigram->unigram rollup chain must reuse the posexplode
+    window's hash(doc_id) partitioning: every exchange in the plan keys on
+    doc_id ALONE — a hashpartitioning on (doc_id, w0, ...) would mean a
+    grouping failed to reuse the clustering and added a real shuffle."""
+    import re
+
+    from audio_feature_extraction_spark.operators.quality import repetition_stats
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        repetition_stats(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys, "expected at least one exchange"
+    for k in keys:
+        cols = [c.strip() for c in k.split(",")[:-1]]  # last item is numParts
+        assert len(cols) == 1 and cols[0].startswith("doc_id"), k

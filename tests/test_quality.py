@@ -150,3 +150,20 @@ def test_pow2_length_bucket(spark):
         df.select("n", Q.pow2_length_bucket(F.col("n")).alias("b")).collect()
     )
     assert out == {0: 0, 1: 1, 2: 2, 3: 2, 4: 4, 1023: 512, 1024: 1024, 1025: 1024}
+
+
+def test_take_per_stratum_exact_and_layout_invariant(spark):
+    n = 500
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+    a = Q.take_per_stratum(df, "k", "src", 7).toPandas()
+    b = Q.take_per_stratum(df.repartition(11), "k", "src", 7).toPandas()
+    assert (a.groupby("src").size() == 7).all()
+    sa = a.sort_values(["src", "k"]).reset_index(drop=True)
+    sb = b.sort_values(["src", "k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(sa, sb)
