@@ -248,11 +248,25 @@ def take_per_stratum(
     sets, human-review batches): same rows on every engine and partition
     layout, one shuffle on the stratum key, state per task = one heap of n.
 
-    Ties are impossible (hash of a unique key), so the selection is total."""
-    w = Window.partitionBy(strata_col).orderBy(
-        portable_word_hash(F.col(key_col).cast("string")), F.col(key_col)
+    Ties are impossible (hash of a unique key), so the selection is total.
+
+    Scale shape: a single window over (stratum) would sort EVERY row of a
+    stratum in one task — the unpartitioned-window trap. Instead a salted
+    pre-prune keeps the best n per (stratum, salt) cell in parallel (any
+    global top-n row is necessarily a top-n row of its cell), so the final
+    per-stratum window ranks at most ``salts × n`` rows."""
+    h = portable_word_hash(F.col(key_col).cast("string"))
+    salts = 32
+    pre_w = Window.partitionBy(
+        strata_col, F.pmod(h, F.lit(salts))
+    ).orderBy(h, F.col(key_col))
+    pruned = (
+        df.withColumn("_prk", F.row_number().over(pre_w))
+        .where(F.col("_prk") <= n_per_stratum)
+        .drop("_prk")
     )
-    ranked = df.withColumn("_rk", F.row_number().over(w)).where(
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    ranked = pruned.withColumn("_rk", F.row_number().over(w)).where(
         F.col("_rk") <= n_per_stratum
     )
     if out_rank:
