@@ -1835,14 +1835,15 @@ def _sql_stratified_sample() -> str:
         "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
         " % 10000"
     )
+    # round(), matching quality.stratified_sample's threshold derivation
     cases = " ".join(
-        f"WHEN source = '{s}' THEN {int(r * 10000)}"
+        f"WHEN source = '{s}' THEN {round(r * 10000)}"
         for s, r in sorted(_SAMPLE_RATES.items())
     )
     return f"""
 SELECT doc_id, source, lang, n_chars
 FROM documents
-WHERE {bucket} < (CASE {cases} ELSE {int(_SAMPLE_DEFAULT * 10000)} END)
+WHERE {bucket} < (CASE {cases} ELSE {round(_SAMPLE_DEFAULT * 10000)} END)
 """
 
 

@@ -227,10 +227,13 @@ def stratified_sample(
     ``DataFrame.sample`` this is exactly reproducible (pure filter, no RNG,
     no dependence on partitioning) and needs zero shuffles."""
     b = hash_bucket(F.col(key_col), buckets)
-    thresh = F.lit(int(default_rate * buckets))
+    # round, not int(): 0.29 * 10000 is 2899.9999999999995 in float — int()
+    # would systematically under-sample binary-unrepresentable rates by one
+    # bucket against the documented `bucket < rate*buckets` contract
+    thresh = F.lit(round(default_rate * buckets))
     for stratum, rate in sorted(rates.items()):
         thresh = F.when(
-            F.col(strata_col) == stratum, F.lit(int(rate * buckets))
+            F.col(strata_col) == stratum, F.lit(round(rate * buckets))
         ).otherwise(thresh)
     return df.where(b < thresh)
 

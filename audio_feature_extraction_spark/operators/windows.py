@@ -145,11 +145,12 @@ def rolling_median(col: str, w: WindowSpec, n: int) -> Column:
     constant (kernel 3/5 in the reference) so the per-row array is tiny."""
     vals = F.array_sort(F.collect_list(col).over(_trailing(w, n)))
     cnt = F.size(vals)
-    # try_element_at: an all-NULL frame collects an empty array (index 0) —
-    # NULL median, not an ANSI INVALID_ARRAY_INDEX error
+    # an all-NULL frame collects an EMPTY array: cnt=0 makes the lo index 0,
+    # which even try_element_at rejects (INVALID_INDEX_OF_ZERO) — guard the
+    # whole expression so the empty frame yields a NULL median
     lo = F.try_element_at(vals, ((cnt + 1) / 2).cast("int"))
     hi = F.try_element_at(vals, (cnt / 2 + 1).cast("int"))
-    return (lo + hi) / 2.0
+    return F.when(cnt > 0, (lo + hi) / 2.0)
 
 
 # ---------------------------------------------- W5/W7: fixed-coefficient smooth

@@ -44,6 +44,12 @@ def _row_checksum(key_cols: list[str]) -> Column:
 
 
 class CheckpointTable:
+    """Layout v2: manifest ``checksum`` is DECIMAL(38,0) (exact sum of
+    per-row 60-bit hashes). v1 tables (wrapping BIGINT checksums) are not
+    readable by ``verify()``/``read_manifest()`` — recompute manifests (or
+    re-snapshot) when upgrading; snapshots written by different layout
+    versions must not be mixed under one ``base_path``."""
+
     def __init__(self, base_path: str):
         self.base = base_path
         self.data_dir = os.path.join(base_path, "data")

@@ -71,7 +71,15 @@ class EngineConfig:
     def _set_path(self, parts: list[str], value: Any) -> None:
         d = self.data
         for p in parts[:-1]:
-            d = d.setdefault(p, {})
+            nxt = d.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                # an env override descends through an existing scalar
+                # (file: `vad: 3`, env: AFE__vad__aggressiveness=2) — the
+                # override wins: replace the scalar with a section instead
+                # of crashing on int.__setitem__
+                nxt = {}
+                d[p] = nxt
+            d = nxt
         d[parts[-1]] = value
 
     def get(self, dotted: str, default: Any = None) -> Any:

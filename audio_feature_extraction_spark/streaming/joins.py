@@ -38,8 +38,10 @@ def stream_interval_join(
     for k in on:
         c = l[k] == r[k]
         cond = c if cond is None else cond & c
-    lo = F.expr(f"INTERVAL {int(lo_sec)} SECONDS")
-    hi = F.expr(f"INTERVAL {int(hi_sec)} SECONDS")
+    # millisecond-resolution intervals: int(sec) would silently truncate
+    # fractional bands (lo=0.5 becoming 0 widens the join window)
+    lo = F.expr(f"INTERVAL {int(round(lo_sec * 1000))} MILLISECONDS")
+    hi = F.expr(f"INTERVAL {int(round(hi_sec * 1000))} MILLISECONDS")
     band = (F.col(right_ts) >= F.col(left_ts) - hi) & (
         F.col(right_ts) <= F.col(left_ts) - lo
     )

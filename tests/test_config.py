@@ -74,3 +74,12 @@ def test_spark_conf_flatten_and_apply(spark, tmp_path):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "64"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_env_override_through_scalar(tmp_path):
+    """Regression (review-found): an env override descending through an
+    existing scalar section must replace it, not crash on int.__setitem__."""
+    p = tmp_path / "c.json"
+    p.write_text('{"vad": 3}')
+    cfg = EngineConfig.from_file(str(p), env={"AFE__vad__aggressiveness": "2"})
+    assert cfg.get("vad.aggressiveness") == 2

@@ -103,3 +103,35 @@ def test_dtw_join_spark(spark):
         np.testing.assert_allclose(got.loc[key, "dtw_dist"], w["dtw_dist"])
         assert got.loc[key, "path_len"] == w["path_len"]
     assert pd.isna(got.loc["c", "dtw_dist"]) and got.loc["c", "m"] == 0
+
+
+def test_dtw_path_respects_step_weights():
+    """Regression (review-found): the backtrack must compare candidates with
+    the SAME weights as the forward recurrence — every step's chosen
+    predecessor must achieve the weighted minimum."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.operators.dtw import (
+        dtw_accumulate,
+        dtw_path,
+    )
+
+    rng = np.random.default_rng(11)
+    dw, sw = 0.8, 1.2
+    for _ in range(25):
+        cost = rng.random((rng.integers(3, 9), rng.integers(3, 9)))
+        acc = dtw_accumulate(cost, diag_weight=dw, step_weight=sw)
+        path = dtw_path(acc, diag_weight=dw, step_weight=sw)
+        assert path[0] == (0, 0) and path[-1] == (
+            acc.shape[0] - 1,
+            acc.shape[1] - 1,
+        )
+        for (pi, pj), (i, j) in zip(path, path[1:]):
+            if i == 0 or j == 0 or (pi, pj) == (0, 0):
+                continue
+            cands = {
+                (i - 1, j - 1): acc[i - 1, j - 1] * dw,
+                (i - 1, j): acc[i - 1, j] * sw,
+                (i, j - 1): acc[i, j - 1] * sw,
+            }
+            assert cands[(pi, pj)] == min(cands.values()), (path, (i, j))

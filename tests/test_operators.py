@@ -193,3 +193,24 @@ def test_capped_session_panes(spark):
         r["event_id"]: (r["session_id"], r["sub_session"]) for r in out.collect()
     }
     assert got == {1: (0, 0), 2: (0, 0), 3: (0, 1), 4: (0, 1), 5: (0, 2), 6: (1, 0)}
+
+
+def test_rolling_median_all_null_frame(spark):
+    """Regression (review-found): a trailing frame holding only NULLs
+    collects an EMPTY array — index 0 crashes even try_element_at
+    (INVALID_INDEX_OF_ZERO); the median must be NULL, not an error."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+
+    from audio_feature_extraction_spark.operators.windows import rolling_median
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0, 0), None),
+        ("a", datetime(2024, 1, 1, 0, 0, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    w = Window.partitionBy("k").orderBy("ts")
+    out = df.select("ts", rolling_median("v", w, 3).alias("med")).collect()
+    got = {r["ts"].second: r["med"] for r in out}
+    assert got[0] is None and got[1] == 5.0

@@ -167,3 +167,18 @@ def test_take_per_stratum_exact_and_layout_invariant(spark):
     sa = a.sort_values(["src", "k"]).reset_index(drop=True)
     sb = b.sort_values(["src", "k"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(sa, sb)
+
+
+def test_stratified_sample_rate_threshold_rounds(spark):
+    """Regression (review-found): 0.29 * 10000 floats to 2899.999…; int()
+    would under-sample by one bucket. A key hashing exactly into bucket 2899
+    must be kept at rate 0.29."""
+    import hashlib
+
+    def bucket(k: int) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 10000
+
+    edge = next(k for k in range(100_000) if bucket(k) == 2899)
+    df = spark.createDataFrame([(edge, "s")], "k long, src string")
+    out = Q.stratified_sample(df, "k", "src", {"s": 0.29}).collect()
+    assert len(out) == 1
