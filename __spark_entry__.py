@@ -164,7 +164,7 @@ def _q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("avg_value"),
-        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        F.round(F.stddev_pop("value"), 6).alias("std_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
@@ -173,7 +173,7 @@ def _q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_GROUPED_STATS = """
 SELECT event_type, COUNT(*) AS n,
   ROUND(AVG(value), 6) AS avg_value,
-  ROUND(STDDEV_SAMP(value), 6) AS std_value,
+  ROUND(STDDEV_POP(value), 6) AS std_value,
   MIN(value) AS min_value, MAX(value) AS max_value
 FROM events GROUP BY event_type
 """
@@ -236,7 +236,7 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        F.round(F.stddev_samp("n_chars"), 6).alias("std_chars"),
+        F.round(F.stddev_pop("n_chars"), 6).alias("std_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
 
@@ -245,7 +245,7 @@ _SQL_CORPUS_STATS = """
 SELECT lang, COUNT(*) AS n_docs,
   ROUND(AVG(n_chars), 6) AS avg_chars,
   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-  ROUND(STDDEV_SAMP(n_chars), 6) AS std_chars,
+  ROUND(STDDEV_POP(n_chars), 6) AS std_chars,
   COUNT(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang
 """
@@ -1212,8 +1212,8 @@ _SQL_SNR_STABILITY = """
 SELECT event_type, COUNT(*) AS n,
   ROUND(20.0 * (LN(AVG(value) / (QUANTILE_CONT(value, 0.10) + 1e-8))
                 / LN(10.0)), 6) AS snr_db,
-  ROUND(STDDEV_SAMP(value) / (AVG(value) + 1e-8), 6) AS cv,
-  ROUND(1.0 - STDDEV_SAMP(value) / (AVG(ABS(value)) + 1e-8), 6) AS stability
+  ROUND(STDDEV_POP(value) / (AVG(value) + 1e-8), 6) AS cv,
+  ROUND(1.0 - STDDEV_POP(value) / (AVG(ABS(value)) + 1e-8), 6) AS stability
 FROM events GROUP BY event_type
 """
 
@@ -1230,7 +1230,9 @@ _SQL_VALUE_HISTOGRAM = """
 SELECT event_type,
   LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS INT), 0), 19) AS bucket,
   COUNT(*) AS n
-FROM events GROUP BY 1, 2
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY 1, 2
 """
 
 
@@ -1576,9 +1578,9 @@ def _q_binpack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BINPACK_ASSIGN = f"""
 SELECT doc_id, lang,
-  CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - 1)
-             / {BIN_CAP}) AS INT) AS bin_id
+  CAST(FLOOR(GREATEST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - 1, 0)
+/ {BIN_CAP}) AS INT) AS bin_id
 FROM documents
 """
 
@@ -1964,9 +1966,9 @@ def _q_packed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PACKED_ROLLUP = f"""
 WITH packed AS (
   SELECT doc_id, lang, n_chars,
-    CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) - 1)
-               / {BIN_CAP}) AS INT) AS bin_id
+    CAST(FLOOR(GREATEST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - 1, 0)
+/ {BIN_CAP}) AS INT) AS bin_id
   FROM documents)
 SELECT lang, bin_id,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2163,9 +2165,9 @@ WITH s AS (
   FROM events),
 packed AS (
   SELECT *,
-    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id, seq
-                                 ROWS UNBOUNDED PRECEDING) - 1)
-               / {PACK_CAP}) AS INT) AS bin_id,
+    CAST(FLOOR(GREATEST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id, seq
+                                 ROWS UNBOUNDED PRECEDING) - 1, 0)
+/ {PACK_CAP}) AS INT) AS bin_id,
     array_to_string(list_transform(generate_series(1, n_tok),
                                    x -> CAST(x AS VARCHAR)), ',') AS csv
   FROM s)

@@ -45,8 +45,13 @@ def locf_then_backfill(col: str, w: WindowSpec) -> Column:
 
 
 def clip(col: str, lo: float, hi: float) -> Column:
-    """np.clip analog (`04_…/feature_extraction.py:125-139`)."""
-    return F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi))
+    """np.clip analog (`04_…/feature_extraction.py:125-139`). NaN stays NaN
+    as in numpy — Spark sorts NaN above every double, so a bare
+    least(greatest(...)) would silently pin NaN to the hi bound."""
+    c = F.col(col)
+    return F.when(F.isnan(c.cast("double")), c).otherwise(
+        F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+    )
 
 
 def nan_to_null(col: str) -> Column:

@@ -75,12 +75,19 @@ def with_bin_id(
     w = Window.partitionBy(*gcols).orderBy(*order_cols) if gcols else Window.orderBy(
         *order_cols
     )
-    cum = F.sum(F.col(payload_col).cast("long")).over(
+    # coalesce: NULL payloads count as 0 (a NULL in the running sum would
+    # poison every later row's bin to NULL); greatest(cum-1, 0): leading
+    # zero-payload rows have cum=0 and would otherwise floor to a stray
+    # bin -1 (negative ids collide across salts after the salt mix)
+    cum = F.sum(F.coalesce(F.col(payload_col).cast("long"), F.lit(0))).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
     df = df.withColumn(
         out,
-        F.floor((cum - F.lit(1)) / F.lit(int(target_payload_per_bin))).cast("int"),
+        F.floor(
+            F.greatest(cum - F.lit(1), F.lit(0))
+            / F.lit(int(target_payload_per_bin))
+        ).cast("int"),
     )
     if salt_groups > 1:
         # disambiguate bins across scan salts, then drop the helper

@@ -23,8 +23,11 @@ def group_quantiles(
     prefix: str = "q",
 ) -> DataFrame:
     """Per-group exact interpolated quantiles (A7). One row per group."""
+    # round, not int(): 0.29*100 floats to 28.999… and int() would mislabel
+    # the column (and collide q28/q29 into duplicate names)
     aggs = [
-        F.percentile(col, F.lit(q)).alias(f"{prefix}{int(q * 100)}") for q in qs
+        F.percentile(col, F.lit(q)).alias(f"{prefix}{int(round(q * 100))}")
+        for q in qs
     ]
     return df.groupBy(*group_cols).agg(*aggs)
 
@@ -37,18 +40,32 @@ def robust_normalize(
 ) -> DataFrame:
     """IQR-clip + median-center robust normalization, per group
     (`dtw_alignment.py:388-411`): clip to [p25 - 1.5·IQR, p75 + 1.5·IQR],
-    then (x - median) / (IQR + eps). Stats side is broadcast."""
+    then (x - median) / (IQR + eps). Stats side is broadcast.
+
+    The stats join is NULL-SAFE (<=>): a plain equi-join would silently drop
+    every fact row whose group key is NULL even though groupBy computed a
+    NULL-group row for them. NaN inputs stay NaN (np.clip semantics) —
+    Spark's least/greatest would otherwise turn NaN into the hi bound."""
     stats = group_quantiles(df, group_cols, col).select(
-        *group_cols,
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
         F.col("q25"),
         F.col("q50"),
         F.col("q75"),
         (F.col("q75") - F.col("q25")).alias("iqr"),
     )
-    j = df.join(F.broadcast(stats), group_cols)
+    cond = None
+    for c in group_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        cond = e if cond is None else cond & e
+    j = df.join(F.broadcast(stats), cond).drop(
+        *[f"__g_{c}" for c in group_cols]
+    )
     lo = F.col("q25") - 1.5 * F.col("iqr")
     hi = F.col("q75") + 1.5 * F.col("iqr")
-    clipped = F.least(F.greatest(F.col(col), lo), hi)
+    v = F.col(col)
+    clipped = F.when(
+        F.isnan(v.cast("double")), v.cast("double")
+    ).otherwise(F.least(F.greatest(v, lo), hi))
     return j.withColumn(
         out, (clipped - F.col("q50")) / (F.col("iqr") + F.lit(EPS))
     ).drop("q25", "q50", "q75", "iqr")
@@ -64,6 +81,10 @@ def snr_metrics(
     - ``snr_db``   = 20·log10(mean / (p10 + eps))  (04_…/feature_extractor.py:370-374)
     - ``cv``       = std / (mean + eps)
     - ``stability``= 1 - std / (mean(|x|) + eps)   (feature_extraction.py:316-324)
+
+    std is POPULATION std (stddev_pop): the reference uses ``np.std``
+    (ddof=0), and stddev_samp would both inflate every finite group by
+    sqrt(n/(n-1)) and return NULL (not 0) for single-row groups.
     """
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
@@ -75,10 +96,10 @@ def snr_metrics(
                 / (F.percentile(col, F.lit(noise_q)) + F.lit(EPS)),
             )
         ).alias("snr_db"),
-        (F.stddev_samp(col) / (F.avg(col) + F.lit(EPS))).alias("cv"),
+        (F.stddev_pop(col) / (F.avg(col) + F.lit(EPS))).alias("cv"),
         (
             F.lit(1.0)
-            - F.stddev_samp(col) / (F.avg(F.abs(F.col(col))) + F.lit(EPS))
+            - F.stddev_pop(col) / (F.avg(F.abs(F.col(col))) + F.lit(EPS))
         ).alias("stability"),
     )
 
@@ -93,18 +114,22 @@ def histogram_counts(
 ) -> DataFrame:
     """Fixed-width histogram (A10, `evaluation/evaluator.py:149-206` analog):
     bucket i covers [lo + i·w, lo + (i+1)·w); values < lo clamp to bucket 0,
-    values ≥ hi clamp to the last bucket. Pure groupBy — one shuffle of
-    (group, bucket) pairs, partial-aggregated map-side."""
+    values ≥ hi clamp to the last bucket. NULL/NaN rows are EXCLUDED — the
+    bucket expression would otherwise count them in bucket 0, because
+    Spark's greatest() skips NULL arguments (greatest(NULL, 0) = 0).
+    Pure groupBy — one shuffle of (group, bucket) pairs."""
     w = (hi - lo) / nbins
+    v = F.col(col)
     bucket = F.least(
         F.greatest(
-            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int"), F.lit(0)
+            F.floor((v - F.lit(lo)) / F.lit(w)).cast("int"), F.lit(0)
         ),
         F.lit(nbins - 1),
     )
     keys = (group_cols or []) + ["bucket"]
     return (
-        df.withColumn("bucket", bucket)
+        df.where(v.isNotNull() & ~F.isnan(v.cast("double")))
+        .withColumn("bucket", bucket)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -115,6 +140,9 @@ def clip_gate(
 ) -> Column:
     """VAD-gate + clip projection (P4/P7): keep the clipped value on active
     rows, zero elsewhere (`feature_extraction.py:143-183`,
-    `04_…/process_audio.py:100-116`)."""
-    clipped = F.least(F.greatest(value, F.lit(lo)), F.lit(hi))
+    `04_…/process_audio.py:100-116`). NaN stays NaN (np.clip semantics) —
+    least/greatest would otherwise pin NaN to the hi bound."""
+    clipped = F.when(F.isnan(value.cast("double")), value).otherwise(
+        F.least(F.greatest(value, F.lit(lo)), F.lit(hi))
+    )
     return F.when(is_active, clipped).otherwise(F.lit(0.0))

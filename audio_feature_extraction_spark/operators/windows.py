@@ -52,7 +52,14 @@ def lead_delta(col: str, w: WindowSpec, fill: float = 0.0) -> Column:
 
 
 def _edge_lag(col: str, i: int, w: WindowSpec) -> Column:
-    """x[t-i] with start-of-sequence edge replication (librosa pad analog)."""
+    """x[t-i] with start-of-sequence edge replication (librosa pad analog).
+
+    REQUIRES a NULL-free column: lag() returns NULL both past the partition
+    edge AND for a genuine interior NULL, so an un-filled NULL at row t-i
+    would be silently replaced with the partition's FIRST value. Callers
+    must LOCF/interpolate first (the flagship pipeline does) — that is also
+    exactly what the reference does before computing deltas (NaN-free
+    frames after unvoiced-F0 interpolation)."""
     if i == 0:
         return F.col(col)
     return F.coalesce(F.lag(col, i).over(w), F.first(col).over(_full(w)))
@@ -161,6 +168,7 @@ def savgol_coeffs(window: int = 11, polyorder: int = 3) -> list[float]:
     (04_…/feature_extractor.py:290,430). Pure numpy at plan-build time."""
     import numpy as np
 
+    assert window % 2 == 1, f"window must be odd, got {window}"
     half = window // 2
     x = np.arange(-half, half + 1, dtype=np.float64)
     a = np.vander(x, polyorder + 1, increasing=True)
@@ -174,6 +182,7 @@ def gaussian_coeffs(window: int = 9, sigma: float = 2.0) -> list[float]:
     gaussian_filter1d import :24). Pure numpy at plan-build time."""
     import numpy as np
 
+    assert window % 2 == 1, f"window must be odd, got {window}"
     half = window // 2
     x = np.arange(-half, half + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)

@@ -71,3 +71,19 @@ def test_partition_payload_stats_shape(tiny_df):
     stats: pd.DataFrame = partition_payload_stats(out).toPandas()
     assert set(stats.columns) == {"partition_id", "rows", "payload"}
     assert stats.payload.sum() == seq.agg(F.sum("n_tok")).collect()[0][0]
+
+
+def test_binpack_leading_zero_and_null_payload(spark):
+    """Leading zero-payload rows land in bin 0 (not a stray bin -1), and a
+    NULL payload counts as 0 instead of poisoning the running sum."""
+    df = spark.createDataFrame(
+        [("d0", 0, 0), ("d1", 1, None), ("d2", 2, 5), ("d3", 3, 5)],
+        "doc_id string, seq int, n_tok int",
+    )
+    out = with_bin_id(
+        df, payload_col="n_tok", order_cols=["doc_id", "seq"],
+        group_cols=["doc_id"], target_payload_per_bin=4, mix=False,
+        out="bin_id",
+    ).toPandas()
+    assert (out.bin_id >= 0).all()
+    assert out.bin_id.notna().all()

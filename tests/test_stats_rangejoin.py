@@ -124,3 +124,46 @@ def test_cosine_neardup_finds_planted_pairs(spark):
     out = cosine_neardup_pairs(emb.unionByName(planted), threshold=0.9)
     pairs = sorted((r.id_a, r.id_b) for r in out.collect())
     assert pairs == [(i, i + 100_000) for i in range(5)]
+
+
+def test_snr_metrics_population_std(spark):
+    """Reference parity (np.std is ddof=0): cv/stability use POPULATION std,
+    and a single-row group yields cv=0 / stability=1, not NULL."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.operators.stats import snr_metrics
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 4.0), ("a", 6.0), ("b", 5.0)], "k string, v double"
+    )
+    out = {r["k"]: r.asDict() for r in snr_metrics(df, ["k"], "v").collect()}
+    std_pop = float(np.std([2.0, 4.0, 6.0]))  # ddof=0
+    assert out["a"]["cv"] == pytest.approx(std_pop / (4.0 + 1e-8))
+    assert out["b"]["cv"] == pytest.approx(0.0)
+    assert out["b"]["stability"] == pytest.approx(1.0)
+
+
+def test_histogram_excludes_null_and_nan(spark):
+    """NULL/NaN rows must not inflate bucket 0 (greatest() skips NULLs)."""
+    from audio_feature_extraction_spark.operators.stats import histogram_counts
+
+    df = spark.createDataFrame(
+        [(0.5,), (None,), (float("nan"),), (9.5,)], "v double"
+    )
+    out = {r["bucket"]: r["n"] for r in
+           histogram_counts(df, "v", 0.0, 10.0, 10).collect()}
+    assert out == {0: 1, 9: 1}
+
+
+def test_robust_normalize_keeps_null_group(spark):
+    """NULL group keys must be normalized within their own group, not
+    silently dropped by a non-null-safe equi-join."""
+    from audio_feature_extraction_spark.operators.stats import robust_normalize
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 3.0), ("a", 5.0)],
+        "k string, v double",
+    )
+    out = robust_normalize(df, ["k"], "v").toPandas()
+    assert len(out) == 4
+    assert out[out.k.isna()].normalized.notna().all()
