@@ -895,12 +895,26 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_text_features() -> str:
+    def _hits_expr(markers: list[str]) -> str:
+        # mirror text.marker_hits: word-count for ASCII markers, substring
+        # occurrence count for CJK (space-free scripts never word-match)
+        word_ms = [m for m in markers if m.isascii()]
+        sub_ms = [m for m in markers if not m.isascii()]
+        parts = []
+        if word_ms:
+            parts.append(
+                "len(list_filter(string_split(text,' '), "
+                f"w -> list_contains({word_ms!r}, w)))"
+            )
+        for m in sub_ms:
+            parts.append(
+                f"CAST((length(text) - length(replace(text, '{m}', '')))"
+                f" / {len(m)} AS INT)"
+            )
+        return " + ".join(parts)
+
     marker_hits = {
-        lang: (
-            "len(list_filter(string_split(text,' '), "
-            f"w -> list_contains({markers!r}, w)))"
-        )
-        for lang, markers in _T.LANG_MARKERS.items()
+        lang: _hits_expr(markers) for lang, markers in _T.LANG_MARKERS.items()
     }
     gm = "GREATEST(" + ", ".join(f"h_{l}" for l in _T.LANG_MARKERS) + ")"
     lang_case = "CASE WHEN " + gm + " = 0 THEN 'und' " + " ".join(
@@ -962,7 +976,7 @@ scored AS (
   FROM v, q WHERE v.vec_id != q.query_id),
 ranked AS (
   SELECT *, ROW_NUMBER()
-    OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rank
   FROM scored)
 SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
 FROM ranked WHERE rank <= 10
@@ -1106,8 +1120,9 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_FRAME_SAMPLE = """
 SELECT doc_id,
-       unnest(generate_series(0, GREATEST(n_chars - 1, 0), 10)) AS frame_idx
+       unnest(generate_series(0, n_chars - 1, 10)) AS frame_idx
 FROM documents
+WHERE n_chars > 0
 """
 
 

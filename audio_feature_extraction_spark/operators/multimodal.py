@@ -87,12 +87,14 @@ def extract_media_features(
     binary_col: str = "payload",
     codec: str = "pcm16",
     fake: bool = False,
-    batch_size_hint: int = 1024,
 ) -> DataFrame:
     """Decode + featurize each media payload: (id, media_features
     array<float>[FEATURE_DIM]). One mapInPandas stage; the binary column is
     projected to exactly (id, payload) before the Python boundary so Arrow
-    ships no dead columns."""
+    ships no dead columns. Arrow batch size (and therefore per-batch decode
+    memory) is governed by the session's
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, set in
+    ``session.get_spark`` — there is no reliable per-stage override."""
     src = df.select(F.col(id_col), F.col(binary_col))
     out_schema = StructType(
         [
@@ -119,8 +121,14 @@ def frame_sample_plan(
     every: int = 10,
 ) -> DataFrame:
     """Frame-sampling as a pure plan op: one row per sampled frame index
-    (video keyframe analog) — posexplode of a sequence, no Python."""
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every)
+    (video keyframe analog) — posexplode of a sequence, no Python.
+
+    Zero-frame (or NULL-frame-count) docs yield NO rows: the guard must be
+    a ``when``, not ``greatest(n-1, 0)`` — clamping would emit a frame_idx 0
+    that does not exist (and greatest() skips NULLs, so NULL n_frames would
+    clamp to 0 too)."""
+    idx = F.when(
+        F.col(n_frames_col) > 0,
+        F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every)),
     )
     return df.select(F.col(id_col), F.posexplode(idx).alias("pos", "frame_idx"))

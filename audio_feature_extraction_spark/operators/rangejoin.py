@@ -48,7 +48,13 @@ def band_join_stats(
     cond = [F.col(c) == F.col(f"__r_{c}") for c in on] + [
         (lag >= F.lit(lo_us)) & (lag <= F.lit(hi_us))
     ]
-    l = left.withColumn("__l_us", ts_micros(left_ts))
+    # per-ROW identity for the regroup: grouping on the left columns alone
+    # would collapse duplicate left rows into one row with summed stats.
+    # The id never reaches the output, so its partition-dependent values
+    # can't leak nondeterminism.
+    l = left.withColumn("__l_us", ts_micros(left_ts)).withColumn(
+        "__l_rid", F.monotonically_increasing_id()
+    )
     j = l.join(r, cond, "left_outer")
     aggs = [F.count("__r_us").alias("n_in_band")]
     if value_col:
@@ -56,5 +62,9 @@ def band_join_stats(
             F.max("__r_val").alias("band_max"),
             F.sum("__r_val").alias("band_sum"),
         ]
-    out = j.groupBy(*[F.col(c) for c in left.columns]).agg(*aggs)
+    out = (
+        j.groupBy(F.col("__l_rid"), *[F.col(c) for c in left.columns])
+        .agg(*aggs)
+        .drop("__l_rid")
+    )
     return out

@@ -65,7 +65,13 @@ def brute_force_topk(
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id))
         .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    # rank on round(cos, 6) + id — the SAME order the Arrow twin and the
+    # SQL oracles use, so the two paths can never disagree on a
+    # rounding-boundary tie (an exact-double order is also summation-order
+    # sensitive)
+    w = Window.partitionBy(query_id).orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -138,9 +144,9 @@ def _centroid_literals(n_cells: int, dim: int, seed: int) -> list[list[float]]:
     """Deterministic coarse-quantizer centroids. At 100 TB these are the
     k-means centroids fitted on a driver-side sample and baked into the plan
     as literals; seeded gaussians here keep the plan (and the DuckDB oracle)
-    reproducible without a training pass."""
-    rng = np.random.default_rng(seed)
-    return [[float(x) for x in rng.normal(0.0, 1.0, dim)] for _ in range(n_cells)]
+    reproducible without a training pass. Same generator as the LSH
+    hyperplanes — one helper, one thing to keep in sync with the oracles."""
+    return _plane_literals(n_cells, dim, seed)
 
 
 def _cell_dists(v: Column, centroids: list[list[float]]) -> list[Column]:
@@ -317,6 +323,10 @@ def brute_force_topk_arrow(
             for j in range(S.shape[1]):
                 col = S[:, j].copy()
                 col[nids == q_ids[j]] = -np.inf  # self-exclusion
+                # zero-norm corpus vectors give NaN cosines; np.partition
+                # sorts NaN as largest, which would poison the threshold to
+                # NaN and drop EVERY candidate of this batch — mask first
+                col[~np.isfinite(col)] = -np.inf
                 kk = min(k, int(np.isfinite(col).sum()))
                 if kk == 0:
                     continue

@@ -46,15 +46,24 @@ def bpe_ish_token_count(text_col: str) -> Column:
 
 
 def marker_hits(text_col: str, markers: list[str]) -> Column:
-    """Total occurrences of any marker word: Σ (size(w) − size(array_remove
-    (w, m))). Collection functions stay in whole-stage codegen; the
-    equivalent ``F.filter(w, …contains…)`` lambda is CodegenFallback-
-    interpreted and measured ~4× slower across the lang-ID marker banks."""
+    """Total occurrences of any marker word.
+
+    ASCII markers count as whole space-split words via
+    Σ (size(w) − size(array_remove(w, m))) — collection functions stay in
+    whole-stage codegen (the ``F.filter`` lambda equivalent is
+    CodegenFallback-interpreted, ~4× slower). Non-ASCII markers (the zh
+    lexicon) count as SUBSTRING occurrences — CJK text is not
+    space-delimited, so word-level matching would never fire for it."""
     w = words(text_col)
     n = F.size(w)
+    t = F.col(text_col)
     out = F.lit(0)
     for m in markers:
-        out = out + (n - F.size(F.array_remove(w, m)))
+        if m.isascii():
+            out = out + (n - F.size(F.array_remove(w, m)))
+        else:
+            diff = F.length(t) - F.length(F.replace(t, F.lit(m), F.lit("")))
+            out = out + (diff / F.lit(len(m))).cast("int")
     return out
 
 
@@ -89,9 +98,10 @@ def quality_score(text_col: str) -> Column:
 
 
 def lang_id(text_col: str) -> Column:
-    """Marker-lexicon language ID: lang with most stopword hits; ties and
-    zero-hit docs resolve to the first lang in LANG_MARKERS order with the
-    max count ('und' only when the text has no words at all)."""
+    """Marker-lexicon language ID: the lang with the most marker hits; ties
+    resolve to the first lang in LANG_MARKERS order among the tied max.
+    Docs with ZERO hits in every lexicon return 'und' (out-of-lexicon text
+    is undetermined, not defaulted to 'en')."""
     hit_cols = [
         (lang, marker_hits(text_col, markers))
         for lang, markers in LANG_MARKERS.items()

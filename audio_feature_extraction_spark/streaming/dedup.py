@@ -34,12 +34,24 @@ def stream_dedup_first(
     watermark: str = "1 hour",
     out: str = "win_start",
 ) -> DataFrame:
-    """First arriving row per (keys × tumbling window); append-mode safe."""
+    """First arriving row per (keys × tumbling window); append-mode safe.
+
+    State boundedness: plain ``dropDuplicates`` on a projected window-start
+    field NEVER evicts state (``GetStructField`` drops the event-time
+    metadata ``StreamingDeduplicateExec`` keys eviction on), and keeping the
+    watermarked ``window()`` struct alongside the watermarked ``ts`` is
+    rejected ("more than one event time column"). The supported bounded
+    form is ``dropDuplicatesWithinWatermark``: state rows are evicted once
+    the watermark passes their event time plus the delay, regardless of key
+    metadata. The first-per-window guarantee therefore holds when
+    ``watermark >= window span + max lateness`` — an evicted (key, window)
+    cell could otherwise re-admit a very late duplicate (which the
+    watermark would normally drop as late anyway)."""
     win = F.window(F.col(ts), window)
     return (
         stream.withWatermark(ts, watermark)
         .withColumn(out, win.start)
-        .dropDuplicates([*keys, out])
+        .dropDuplicatesWithinWatermark([*keys, out])
     )
 
 

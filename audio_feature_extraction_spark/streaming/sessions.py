@@ -52,15 +52,24 @@ def stream_sessionize(
 
 
 def run_available_now(
-    stream_out: DataFrame, checkpoint_dir: str, query_name: str = "sessions"
+    stream_out: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "sessions",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drain all currently-available input through the streaming plan into an
     in-memory table and return it as a batch DataFrame (test/backfill mode —
-    production would writeStream to the checkpointed sink instead)."""
+    production would writeStream to the checkpointed sink instead).
+
+    ``output_mode`` must match the plan: aggregating plans drain in
+    "complete" (note: complete mode also emits sessions the watermark has
+    NOT yet closed — they reappear, grown, on the next drain); append-only
+    plans (``stream_dedup_first``, ``stream_interval_join``) require
+    "append" and emit only watermark-finalized rows."""
     q = (
         stream_out.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -169,3 +169,20 @@ def test_first_per_window_boundaries(spark):
     )
     got = {(r["user_id"], r["event_id"]) for r in out.collect()}
     assert got == {(7, 1), (7, 3), (8, 4)}
+
+
+def test_lang_id_cjk_substring_and_und(spark):
+    """zh markers must fire on space-free CJK text (substring counting);
+    out-of-lexicon text returns 'und', not a default language."""
+    from audio_feature_extraction_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "我是学生他在北京的家"),       # 是/在/的 → zh
+            (2, "the cat and the dog"),       # en
+            (3, "quantum flux capacitor"),    # zero hits anywhere → und
+        ],
+        "doc_id long, text string",
+    )
+    out = dict(df.select("doc_id", lang_id("text").alias("l")).collect())
+    assert out == {1: "zh", 2: "en", 3: "und"}

@@ -172,3 +172,29 @@ def test_frame_sample_plan(spark):
     d0 = got[got.doc_id == "d0"].frame_idx.tolist()
     assert d0 == [0, 10, 20]
     assert got[got.doc_id == "d1"].frame_idx.tolist() == [0]
+
+
+def test_arrow_topk_survives_zero_vector(spark):
+    """A zero-norm corpus vector yields NaN cosines; the batch threshold
+    must mask them instead of dropping every candidate (NaN poisons
+    np.partition)."""
+    rows = [(i, [float(i + 1), 1.0]) for i in range(6)] + [(6, [0.0, 0.0])]
+    emb6 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb6.where(F.col("vec_id") == 0)
+    out = S.brute_force_topk_arrow(emb6.coalesce(1), q, k=5).toPandas()
+    assert len(out) == 5
+    assert 6 not in set(out.neighbor_id)  # the zero vector never ranks
+    assert out.cos.notna().all()
+
+
+def test_frame_sample_zero_frames_yields_no_rows(spark):
+    from audio_feature_extraction_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 25), (2, 0), (3, None)], "doc_id long, n_frames int"
+    )
+    out = frame_sample_plan(df, "doc_id", "n_frames", every=10).toPandas()
+    assert set(out.doc_id) == {1}
+    assert sorted(out.frame_idx) == [0, 10, 20]

@@ -167,3 +167,26 @@ def test_robust_normalize_keeps_null_group(spark):
     out = robust_normalize(df, ["k"], "v").toPandas()
     assert len(out) == 4
     assert out[out.k.isna()].normalized.notna().all()
+
+
+def test_band_join_stats_keeps_duplicate_left_rows(spark):
+    """Two identical left rows must each get their own stats row — grouping
+    on the left columns alone would merge them and double the counts."""
+    from datetime import datetime
+
+    from audio_feature_extraction_spark.operators.rangejoin import (
+        band_join_stats,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 30, 0)
+    l = spark.createDataFrame(
+        [("a", t0), ("a", t0)], "k string, ts timestamp"
+    )
+    r = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 0, 0, 0)),
+         ("a", datetime(2024, 1, 1, 0, 15, 0))],
+        "k string, ts timestamp",
+    )
+    out = band_join_stats(l, r, on=["k"], lo_sec=0.0, hi_sec=3600.0).toPandas()
+    assert len(out) == 2
+    assert (out.n_in_band == 2).all()
