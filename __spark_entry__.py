@@ -50,10 +50,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + the NULL-injected observation column ``v`` (missing-value
-    analog of unvoiced F0, SURVEY.md P1)."""
-    return _t(spark, sf_dir, "events").withColumn(
-        "v", F.when(F.col("value") > 150, F.lit(None)).otherwise(F.col("value"))
-    )
+    analog of unvoiced F0, SURVEY.md P1). Single source of truth:
+    plans.from_events.with_v / V_NULL_ABOVE — the same derivation the
+    flagship pipeline uses, so the threshold can never drift between the
+    two query families."""
+    from audio_feature_extraction_spark.plans.from_events import with_v
+
+    return with_v(_t(spark, sf_dir, "events"))
 
 
 def _uw():
@@ -950,7 +953,7 @@ SELECT q.doc_id, wc, bpe_tokens,
   {lang_case} AS lang_pred,
   md5(text) AS fingerprint,
   msf.min_shingle_fp
-FROM q JOIN msf ON q.doc_id = msf.doc_id
+FROM q LEFT JOIN msf ON q.doc_id = msf.doc_id
 """
 
 
@@ -2003,7 +2006,9 @@ def _q_session_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sid = with_session_id(
         ev, keys=["user_id"], ts="ts", order=["ts", "event_id"], gap_sec=EV_GAP_SEC
     )
-    n_tok = (F.pmod(F.col("event_id"), F.lit(31)) + F.lit(2)).cast("int")
+    from audio_feature_extraction_spark.plans.from_events import n_tok_of
+
+    n_tok = n_tok_of("event_id")
     return (
         sid.withColumn("n_tok", n_tok)
         .groupBy("user_id", "session_id")

@@ -45,12 +45,19 @@ def replicate(ev: DataFrame, n: int) -> DataFrame:
     )
 
 
+def n_tok_of(event_id_col: str = "event_id"):
+    """The deterministic sequence-length derivation (2..32 tokens). Single
+    source of truth — entry queries and oracles that re-derive n_tok must
+    agree with the flagship pipeline's tokens arrays."""
+    return (F.pmod(F.col(event_id_col), F.lit(31)) + F.lit(2)).cast("int")
+
+
 def sequences_from_events(ev: DataFrame) -> DataFrame:
     """Left side: one pre-tokenized sequence row per event (input_hint shape).
     tokens = [1..n_tok] int32, deterministic in event_id — bit-identity of
     the array through the pipeline is assertable in closed form."""
     ev = with_v(ev) if "v" not in ev.columns else ev
-    n_tok = (F.pmod(F.col("event_id"), F.lit(31)) + F.lit(2)).cast("int")
+    n_tok = n_tok_of("event_id")
     return ev.select(
         F.col("user_id").cast("string").alias("doc_id"),
         F.col("event_id").cast("int").alias("seq"),

@@ -112,6 +112,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name would otherwise filter out EVERYTHING, run zero
+        # queries, and exit 0 — a false-green gate
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        spark.stop()
+        return 1
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -155,11 +162,14 @@ def main() -> int:
         else:
             print(f"OK    {name} ({dt:.1f}s, rows={len(spdf)})")
 
-    # entry() smoke
+    # entry() smoke — the driver's contract is rows > 0, so enforce it here
     if not only:
         out = entry_mod.entry(spark)
         n = out.count()
         print(f"entry(): rows={n} schema={[f.name for f in out.schema.fields]}")
+        if n <= 0:
+            print("FAIL  entry() returned 0 rows (driver requires > 0)")
+            n_fail += 1
     spark.stop()
     return 1 if n_fail else 0
 
