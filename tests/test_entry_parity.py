@@ -41,3 +41,30 @@ def test_entry_smoke(spark):
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "seq", "ts", "session_id", "feature_vector", "tokens",
     ]
+
+
+def test_packed_tokens_layout_invariant(spark):
+    """The packed-batch md5 fingerprints must not depend on partition
+    layout: collect_list order is nondeterministic, and only the explicit
+    struct sort makes the digest stable."""
+    import __spark_entry__ as E
+
+    a = (
+        E.queries()["packed_tokens"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(["source", "bin_id"])
+        .reset_index(drop=True)
+    )
+    # second run with a different shuffle width via a fresh plan
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = (
+            E.queries()["packed_tokens"](spark, "/root/testdata/sf0.001")
+            .toPandas()
+            .sort_values(["source", "bin_id"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a.pack_md5.tolist() == b.pack_md5.tolist()
+    assert a.batch_tokens.tolist() == b.batch_tokens.tolist()
