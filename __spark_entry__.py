@@ -1291,14 +1291,18 @@ def _q_vector_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_VECTOR_KERNEL = """
+WITH clean AS (
+  -- NaN elements are MISSING on both sides (kernels._vec_stats filters them)
+  SELECT vec_id,
+         list_filter(CAST(embedding AS DOUBLE[]), x -> NOT isnan(x)) AS e
+  FROM embeddings)
 SELECT vec_id,
-  ROUND((SELECT AVG(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)), 6) AS v_mean,
-  ROUND((SELECT STDDEV_POP(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)), 6) AS v_std,
-  ROUND((SELECT MIN(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)), 6) AS v_min,
-  ROUND((SELECT MAX(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)), 6) AS v_max,
-  ROUND(SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-              FROM UNNEST(embedding) AS t(x))), 6) AS v_l2
-FROM embeddings
+  ROUND((SELECT AVG(x) FROM UNNEST(e) AS t(x)), 6) AS v_mean,
+  ROUND((SELECT STDDEV_POP(x) FROM UNNEST(e) AS t(x)), 6) AS v_std,
+  ROUND((SELECT MIN(x) FROM UNNEST(e) AS t(x)), 6) AS v_min,
+  ROUND((SELECT MAX(x) FROM UNNEST(e) AS t(x)), 6) AS v_max,
+  ROUND(SQRT((SELECT SUM(x * x) FROM UNNEST(e) AS t(x))), 6) AS v_l2
+FROM clean
 """
 
 

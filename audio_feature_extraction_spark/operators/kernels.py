@@ -38,8 +38,12 @@ _STATS_T = StructType(
 def _vec_stats(vs: pd.Series) -> pd.DataFrame:
     out = np.empty((len(vs), 5), dtype=np.float64)
     for i, v in enumerate(vs):
-        # float64 accumulation in array order — reference float semantics
+        # float64 accumulation in array order — reference float semantics.
+        # NaN elements are MISSING (the engine's NaN→NULL policy applied
+        # element-wise): without the filter one NaN poisons every stat to
+        # NaN→NULL, which the SQL-oracle aggregates would not reproduce
         a = np.asarray(v, dtype=np.float64)
+        a = a[~np.isnan(a)]
         if a.size == 0:
             out[i] = np.nan
             continue

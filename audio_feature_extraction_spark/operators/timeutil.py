@@ -12,13 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import TimestampNTZType
 
 
 def ts_micros(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
-
-
-def is_ntz(df, col: str) -> bool:
-    return isinstance(df.schema[col].dataType, TimestampNTZType)

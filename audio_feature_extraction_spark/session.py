@@ -30,6 +30,11 @@ def get_spark(
     driver_memory: str = "16g",
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
+    """NOTE: ``getOrCreate`` returns any pre-existing in-process session and
+    SILENTLY ignores every parameter here (master/cores/memory/extra are
+    JVM-start-time settings). Callers that need a specific configuration
+    must be the first session in the process — the benchmarks fork a
+    subprocess per configuration for exactly this reason."""
     cores = cores or default_cpus()
     shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
     b = (
@@ -47,9 +52,10 @@ def get_spark(
         # Arrow everywhere a pandas UDF boundary exists
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # tokens arrays are fat rows: cap scan partition bytes so a partition
-        # of arrays still fits executor memory at high SF
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # tokens arrays are fat rows: cap scan partition bytes BELOW the
+        # 128 MB default so a partition of wide array rows still fits
+        # executor memory at high SF (the default would make this a no-op)
+        .config("spark.sql.files.maxPartitionBytes", "67108864")
         # ANSI on — the Spark 4 default and what the driver's session runs;
         # engine expressions must be ANSI-safe (try_element_at for possibly-
         # empty arrays, guarded divisions), so the local gate can't mask

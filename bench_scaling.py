@@ -36,9 +36,8 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
 REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 DATA_DIR = os.path.join(REPO, ".bench_data", "scaling")
 # N=1 → 4N=4: this sandbox VM shows shared-resource contention that grows
 # with thread count in ONE JVM (a pure-CPU Spark job gets only ~2.5x from
@@ -54,6 +53,8 @@ SHUFFLE = max(4 * N_BIG, 128)
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1350000"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))  # per subprocess
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))  # interleaved A/B rounds
+assert REPEATS > 0 and ROUNDS > 0, "SCALE_REPEATS/SCALE_ROUNDS must be >= 1"
+
 
 # shuffle spill/temp on tmpfs: on a real cluster every executor brings its own
 # local disks (shuffle bandwidth scales with N); this sandbox has ONE shared
@@ -73,9 +74,18 @@ def _gen_cfg():
     return GenConfig(n_docs=N_DOCS, seed=7, min_tok=16, max_tok=256)
 
 
+def _data_fingerprint() -> str:
+    # the sentinel must encode the generation config — a bare "_OK" would
+    # silently reuse a stale dataset after SPARK_GRAFT_SCALE_DOCS/SHUFFLE
+    # change, and BASELINE.md would then misdescribe its own input
+    return f"docs={N_DOCS};shuffle={SHUFFLE}"
+
+
 def prepare_data() -> None:
-    """Generate the shared input once (distributed, deterministic)."""
-    if os.path.exists(os.path.join(DATA_DIR, "_OK")):
+    """Generate the shared input once (distributed, deterministic);
+    regenerate whenever the generation config changed."""
+    ok = os.path.join(DATA_DIR, "_OK")
+    if os.path.exists(ok) and open(ok).read() == _data_fingerprint():
         return
     shutil.rmtree(DATA_DIR, ignore_errors=True)
     from audio_feature_extraction_spark.datagen import gen_reference, gen_sequences
@@ -94,7 +104,7 @@ def prepare_data() -> None:
     )
     spark.stop()
     with open(os.path.join(DATA_DIR, "_OK"), "w") as f:
-        f.write("ok")
+        f.write(_data_fingerprint())
 
 
 def run_level(cores: int) -> dict:
@@ -128,9 +138,9 @@ def run_level(cores: int) -> dict:
 
 
 def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return round((s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0), 3)
+    import statistics
+
+    return round(statistics.median(xs), 3)
 
 
 def _run_subprocess_level(cores: int) -> dict:
@@ -305,7 +315,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-level", type=int, default=None)
     args = ap.parse_args()
-    if args.run_level:
+    if args.run_level is not None:
         print(json.dumps(run_level(args.run_level)))
     else:
         orchestrate()

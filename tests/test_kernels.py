@@ -44,3 +44,19 @@ def test_vector_stats_plan_is_arrow_not_row_python(spark):
     )
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_vec_stats_nan_elements_are_missing(spark):
+    """NaN elements are filtered (element-wise NaN->missing policy): stats
+    come from the finite elements; an all-NaN vector yields NULLs like an
+    empty one."""
+    from audio_feature_extraction_spark.operators.kernels import vector_stats
+
+    df = spark.createDataFrame(
+        [(1, [float("nan"), 1.0, 3.0]), (2, [float("nan")])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["s"] for r in
+           df.select("vec_id", vector_stats("embedding").alias("s")).collect()}
+    assert out[1]["mean"] == 2.0 and out[1]["vmin"] == 1.0 and out[1]["vmax"] == 3.0
+    assert out[2]["mean"] is None and out[2]["l2"] is None

@@ -15,14 +15,29 @@ from audio_feature_extraction_spark.plans.pipeline import feature_pipeline
 
 
 def main() -> None:
-    spark = SparkSession.builder.appName("afe-submit-smoke").getOrCreate()
+    # pin the engine's PORTABLE conventions on the cluster session (master/
+    # memory stay cluster-provided): a DST-zone cluster default for
+    # session.timeZone would shift NTZ event-time arithmetic across DST
+    # transitions, making this smoke certify different semantics than every
+    # get_spark-based gate
+    spark = (
+        SparkSession.builder.appName("afe-submit-smoke")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     out = feature_pipeline(
         dg.gen_sequences(spark, dg.TINY), dg.gen_reference(spark, dg.TINY)
     )
-    n = out.count()
-    toks = out.agg(F.sum(F.size("tokens"))).collect()[0][0]
-    print(json.dumps({"rows": int(n), "tokens": int(toks or 0)}))
+    # one pass for both numbers — count() then agg() would execute the
+    # whole pipeline twice
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("tokens")).alias("toks")
+    ).collect()[0]
+    print(json.dumps({"rows": int(row["n"]), "tokens": int(row["toks"] or 0)}))
     spark.stop()
 
 
