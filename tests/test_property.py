@@ -29,8 +29,11 @@ rows_strategy = st.lists(
     max_size=40,
 )
 
+# SPARK_GRAFT_FUZZ=N deep-fuzz override (CI default stays fast)
+import os
+
 SETTINGS = settings(
-    max_examples=12,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
