@@ -320,6 +320,16 @@ def _broadcast_arrow_asof(
             key = (key,)
         return tuple(None if pd.isna(x) else x for x in key)
 
+    # "small by contract" is enforced, not assumed: collecting a fat
+    # reference side would OOM the driver silently at scale. Fail fast and
+    # name the shuffle-based fallbacks instead.
+    from .similarity import MAX_DRIVER_COLLECT_ROWS, _guard_collect
+
+    _guard_collect(
+        right, "as-of reference (right)",
+        "range_merge or window (shuffle-based as-of)",
+        MAX_DRIVER_COLLECT_ROWS,
+    )
     rp = right.select(
         *on, F.col(right_ts).alias("__rts"), *right_payload
     ).toPandas()

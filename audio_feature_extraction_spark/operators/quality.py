@@ -244,6 +244,7 @@ def take_per_stratum(
     strata_col: str,
     n_per_stratum: int,
     out_rank: str | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """EXACT-count deterministic sampling: the first ``n`` rows per stratum
     in md5-hash order of the key. Complements :func:`stratified_sample`
@@ -251,7 +252,11 @@ def take_per_stratum(
     sets, human-review batches): same rows on every engine and partition
     layout, one shuffle on the stratum key, state per task = one heap of n.
 
-    Ties are impossible (hash of a unique key), so the selection is total.
+    HARD PRECONDITION: ``key_col`` must be unique per row (or unique per
+    (row, tiebreak_col)). With duplicate keys the (hash, key) order has
+    exact ties and row_number selection becomes partition-layout dependent,
+    breaking the determinism contract. Pass ``tiebreak_col`` (a
+    caller-chosen unique column) to restore a total order when keys repeat.
 
     Scale shape: a single window over (stratum) would sort EVERY row of a
     stratum in one task — the unpartitioned-window trap. Instead a salted
@@ -259,16 +264,19 @@ def take_per_stratum(
     global top-n row is necessarily a top-n row of its cell), so the final
     per-stratum window ranks at most ``salts × n`` rows."""
     h = portable_word_hash(F.col(key_col).cast("string"))
+    order = [h, F.col(key_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
     salts = 32
     pre_w = Window.partitionBy(
         strata_col, F.pmod(h, F.lit(salts))
-    ).orderBy(h, F.col(key_col))
+    ).orderBy(*order)
     pruned = (
         df.withColumn("_prk", F.row_number().over(pre_w))
         .where(F.col("_prk") <= n_per_stratum)
         .drop("_prk")
     )
-    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    w = Window.partitionBy(strata_col).orderBy(*order)
     ranked = pruned.withColumn("_rk", F.row_number().over(w)).where(
         F.col("_rk") <= n_per_stratum
     )

@@ -25,6 +25,24 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Hard cap on the number of rows a "small by contract" side may have before
+# we collect it to the driver for broadcast. At 64-dim float64 + id this is
+# ~0.5 KB/row -> ~2.5 GB at the cap, within a default driver heap. Callers
+# with genuinely bigger query sets must use the shuffle-based strategies.
+MAX_DRIVER_COLLECT_ROWS = 5_000_000
+
+
+def _guard_collect(df: DataFrame, side: str, fallback: str, cap: int) -> None:
+    """Fail fast (with the right fix named) instead of OOMing the driver when
+    a caller points a broadcast-collect path at a fat table."""
+    n = df.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{side} side has more than {cap:,} rows; collecting it to the "
+            f"driver for broadcast would risk an OOM. Use the {fallback} "
+            f"strategy instead, or raise the cap explicitly."
+        )
+
 
 def _to_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -219,8 +237,11 @@ def ivf_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    # rank on round(cos, 6) + id like brute_force_topk: an exact-double order
+    # is summation-order sensitive, so a rounding-boundary tie could flip
+    # ranks under a different partitioning/AQE plan
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
+        F.round("cos", 6).desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -266,8 +287,9 @@ def lsh_bucketed_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    # round(cos, 6) + id ranking — same rationale as ivf_topk / brute_force
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
+        F.round("cos", 6).desc(), F.col("neighbor_id")
     )
     return (
         scored.select("query_id", "neighbor_id", "cos").distinct()
@@ -284,6 +306,7 @@ def brute_force_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    max_query_rows: int = MAX_DRIVER_COLLECT_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k via an Arrow kernel: the bulk-path twin of
     :func:`brute_force_topk`.
@@ -303,6 +326,8 @@ def brute_force_topk_arrow(
     order would be summation-order-dependent."""
     import pandas as pd
 
+    _guard_collect(queries, "query", "brute_force_topk (broadcast-join)",
+                   max_query_rows)
     qp = queries.select(id_col, vec_col).toPandas()
     Q = np.stack(qp[vec_col].to_numpy()).astype(np.float64)
     qids = qp[id_col].to_numpy().astype(np.int64)

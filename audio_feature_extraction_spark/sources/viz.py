@@ -104,14 +104,18 @@ def render_line_svg(
     The x-range is grid-bucketed into ≤ ``max_points`` cells and each cell
     collapses to (min x, mean y) with one keyed agg — no global-order window
     (that would be a single task), no bound on input size, ≤ ``max_points``
-    rows collected. NULL x/y rows are dropped."""
+    rows collected. NULL and NaN x/y rows are dropped (engine NaN→NULL
+    policy — a NaN y would poison its cell's avg() into a malformed
+    'nan,nan' polyline coordinate; a NaN x would corrupt the min/max
+    range, matching the histogram_counts fix)."""
     x = F.col(x_col)
     if dict(df.dtypes).get(x_col, "").startswith("timestamp"):
         x = F.unix_micros(x.cast("timestamp")).cast("double")
-    clean = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
-        x.cast("double").alias("x"),
-        F.col(y_col).cast("double").alias("y"),
-    )
+    xd = x.cast("double")
+    yd = F.col(y_col).cast("double")
+    clean = df.where(
+        xd.isNotNull() & ~F.isnan(xd) & yd.isNotNull() & ~F.isnan(yd)
+    ).select(xd.alias("x"), yd.alias("y"))
     rng = clean.agg(
         F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
     ).collect()[0]

@@ -22,8 +22,27 @@ sorted replay); otherwise the streaming result is one representative per
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Parse a simple '<n> <unit> [<n> <unit> ...]' interval into seconds."""
+    total = 0
+    for num, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", interval):
+        if unit.lower() not in _UNIT_SECONDS:
+            raise ValueError(f"unsupported interval unit in {interval!r}")
+        total += int(num) * _UNIT_SECONDS[unit.lower()]
+    if total == 0:
+        raise ValueError(f"could not parse interval {interval!r}")
+    return total
 
 
 def stream_dedup_first(
@@ -31,7 +50,8 @@ def stream_dedup_first(
     keys: list[str],
     ts: str = "ts",
     window: str = "1 hour",
-    watermark: str = "1 hour",
+    watermark: str | None = None,
+    lateness: str = "30 minutes",
     out: str = "win_start",
 ) -> DataFrame:
     """First arriving row per (keys × tumbling window); append-mode safe.
@@ -46,7 +66,13 @@ def stream_dedup_first(
     metadata. The first-per-window guarantee therefore holds when
     ``watermark >= window span + max lateness`` — an evicted (key, window)
     cell could otherwise re-admit a very late duplicate (which the
-    watermark would normally drop as late anyway)."""
+    watermark would normally drop as late anyway). The DEFAULT watermark is
+    therefore derived as ``window + lateness`` so the guarantee holds out
+    of the box; pass ``watermark`` explicitly only to override."""
+    if watermark is None:
+        watermark = (
+            f"{_interval_seconds(window) + _interval_seconds(lateness)} seconds"
+        )
     win = F.window(F.col(ts), window)
     return (
         stream.withWatermark(ts, watermark)

@@ -198,3 +198,53 @@ def test_frame_sample_zero_frames_yields_no_rows(spark):
     out = frame_sample_plan(df, "doc_id", "n_frames", every=10).toPandas()
     assert set(out.doc_id) == {1}
     assert sorted(out.frame_idx) == [0, 10, 20]
+
+
+def test_topk_rank_partitioning_invariant(emb):
+    """Ranking is round(cos,6)+id on EVERY topk path, so the output must be
+    identical under different partitionings (a rounding-boundary tie under
+    exact-double ordering would be summation-order / plan dependent)."""
+    queries = emb.where(F.col("vec_id") < 3)
+    for fn in (S.ivf_topk, S.lsh_bucketed_topk, S.brute_force_topk):
+        a = (
+            fn(emb.repartition(1), queries, k=10)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        b = (
+            fn(emb.repartition(7), queries, k=10)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert a.neighbor_id.tolist() == b.neighbor_id.tolist(), fn.__name__
+        assert a.cos.tolist() == b.cos.tolist(), fn.__name__
+
+
+def test_arrow_topk_driver_collect_guard(emb):
+    """The 'small by contract' query side is enforced: a fat query set must
+    fail fast with the fallback named, not OOM the driver."""
+    with pytest.raises(ValueError, match="brute_force_topk"):
+        S.brute_force_topk_arrow(emb, emb, k=2, max_query_rows=10)
+
+
+def test_asof_broadcast_arrow_collect_guard(spark, monkeypatch):
+    """Same guard on the as-of broadcast-arrow reference side."""
+    import audio_feature_extraction_spark.operators.similarity as sim
+    from audio_feature_extraction_spark.operators.asof import asof_join
+
+    monkeypatch.setattr(sim, "MAX_DRIVER_COLLECT_ROWS", 5)
+    left = spark.range(10).select(
+        F.col("id").alias("k"), F.timestamp_seconds(F.col("id")).alias("ts")
+    )
+    right = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id")).alias("rts"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    with pytest.raises(ValueError, match="range_merge"):
+        asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            strategy="broadcast_arrow",
+        ).collect()
