@@ -814,6 +814,51 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: verified jaccard pairs → connected
+    components (min-label propagation, operators/graph.py) → every document
+    labeled with its cluster representative (min doc_id reachable) and the
+    cluster size. This is the keep-one-representative primitive of corpus
+    dedup; the DuckDB oracle computes the same components via a recursive
+    reachability CTE."""
+    from audio_feature_extraction_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, df_cap=NGRAM_DF_CAP
+    )
+    cc = connected_components(pairs, docs, id_col="doc_id")
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    """Reachability closure over the SAME verified-pair set: cluster_id =
+    min node reachable in the undirected pair graph (UNION-recursive CTE,
+    terminates at the closure fixpoint)."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_sql_jaccard(NGRAM_DF_CAP)}) jp),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst AS node, rc.r
+  FROM reach rc JOIN edges e ON e.src = rc.node),
+lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lab l JOIN sizes s USING (cluster_id)
+"""
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded candidates + exact verification. Oracle = brute force: at
     j≥0.8 with 32 bands × 3 rows, miss probability ≤ 2e-10 per pair, and the
@@ -2486,7 +2531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "grouped_stats": _q_grouped_stats,
         "percentiles": _q_percentiles,
-        "corpus_stats": _q_corpus_stats,
         "delta9": _q_delta9,
         "rolling_median": _q_rolling_median,
         "savgol_smooth": _q_savgol,
@@ -2507,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _q_text_features,
         # -- new this round ------------------------------------------------
         "dtw_band_cost": _q_dtw_band_cost,
+        "dedup_clusters": _q_dedup_clusters,
         # -- r02 judge-verified tail rotated in for driver-green rows ------
         "band_join": _q_band_join,
         "tumbling_counts": _q_tumbling_counts,
@@ -2536,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_sample": _q_eval_sample,
         # ------------------- 50-entry driver-gate cap ---------------------
         # tail: r02 driver-proven, covered locally by tools/check_entry.py
+        "corpus_stats": _q_corpus_stats,
         "bool_rates": _q_bool_rates,
         "missing_rate": _q_missing_rate,
         "quality_score": _q_quality_score,
@@ -2645,4 +2691,5 @@ def oracle_sql() -> dict[str, str]:
         "capped_sessions": _SQL_CAPPED_SESSIONS,
         "eval_sample": _sql_eval_sample(),
         "dtw_band_cost": _SQL_DTW_BAND_COST,
+        "dedup_clusters": _sql_dedup_clusters(),
     }

@@ -81,18 +81,23 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
+    times_max: dict[str, float] = {}
     for name in HEADLINE:
         # min of 2 back-to-back runs per query: the sandbox host shows bursty
         # CPU steal (~10% sustained, multi-second spikes) that lands ~20 s
         # stalls on whichever query is running; the min is the engine's time,
         # the max is the host's. Same plan both runs — nothing is cached
         # between them beyond the JVM/codegen warmup any prod job has.
-        best = float("inf")
+        # BOTH are recorded (queries / queries_max) so a later round can
+        # separate plan changes from host noise without re-deriving this.
+        best, worst = float("inf"), 0.0
         for _ in range(2):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            best, worst = min(best, dt), max(worst, dt)
         times[name] = round(best, 3)
+        times_max[name] = round(worst, 3)
 
     # flagship throughput: tokens emitted per second through the full
     # point-in-time pipeline (the BASELINE.json headline metric).
@@ -118,6 +123,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_max": times_max,
                 "sf": sf,
                 "cpus": cpus,
                 "tokens_per_sec": tokens_per_sec,

@@ -186,3 +186,51 @@ def test_lang_id_cjk_substring_and_und(spark):
     )
     out = dict(df.select("doc_id", lang_id("text").alias("l")).collect())
     assert out == {1: "zh", 2: "en", 3: "und"}
+
+
+def test_connected_components_planted(spark):
+    """Chain a-b-c plus pair d-e plus singleton f: min-label propagation
+    must find {a,b,c}, {d,e}, {f} regardless of edge orientation or
+    partitioning."""
+    from audio_feature_extraction_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], "id_a long, id_b long"
+    ).repartition(5)
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "id long"
+    ).repartition(3)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs multiple propagation rounds; the driver loop
+    must iterate to the fixpoint, not stop after one round."""
+    from audio_feature_extraction_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    out = connected_components(edges, nodes).collect()
+    assert all(r["cluster_id"] == 1 for r in out) and len(out) == n
+
+
+def test_connected_components_no_edges(spark):
+    from audio_feature_extraction_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components(empty, nodes).collect()
+    assert {r["node"]: r["cluster_id"] for r in out} == {i: i for i in range(5)}
