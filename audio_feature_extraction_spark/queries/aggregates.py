@@ -1,0 +1,353 @@
+"""Grouped/rollup/cube/pivot aggregations and corpus statistics.
+
+Split out of __spark_entry__.py (registry-only now); see that module's
+docstring for the cross-engine oracle conventions all queries follow."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from audio_feature_extraction_spark.operators import stats as _ST
+from .common import EVENT_TYPES, _ev, _t
+
+
+# --------------------------------------------------------------------------
+# aggregation queries (SURVEY.md §2.4)
+# --------------------------------------------------------------------------
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing rollup (A1/A5 analog): exact DECIMAL sums,
+    cast to double only at the end."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    taxp = (F.lit(1.0) + F.col("l_tax")).cast("decimal(18,2)")
+    disc_price = (d2("l_extendedprice") * disc).cast("decimal(18,4)")
+    charge = disc_price * taxp
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(d2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(d2("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+       AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))
+       * CAST(1.0 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+def _q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.stddev_pop("value"), 6).alias("std_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+_SQL_GROUPED_STATS = """
+SELECT event_type, COUNT(*) AS n,
+  ROUND(AVG(value), 6) AS avg_value,
+  ROUND(STDDEV_POP(value), 6) AS std_value,
+  MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+    )
+
+_SQL_PERCENTILES = """
+SELECT event_type,
+  ROUND(QUANTILE_CONT(value, 0.25), 6) AS p25,
+  ROUND(QUANTILE_CONT(value, 0.50), 6) AS p50,
+  ROUND(QUANTILE_CONT(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type
+"""
+
+def _q_bool_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hi = (F.col("value") > 100).cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(hi) * 100, 6).alias("high_rate_pct"),
+        F.sum(hi).cast("long").alias("n_high"),
+    )
+
+_SQL_BOOL_RATES = """
+SELECT event_type,
+  ROUND(AVG(CASE WHEN value > 100 THEN 1 ELSE 0 END) * 100, 6) AS high_rate_pct,
+  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events GROUP BY event_type
+"""
+
+def _q_missing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("v").isNull().cast("int")), 6).alias("null_rate"),
+    )
+
+_SQL_MISSING_RATE = """
+SELECT event_type, COUNT(*) AS n,
+  ROUND(AVG(CASE WHEN value > 150 THEN 1 ELSE 0 END), 6) AS null_rate
+FROM events GROUP BY event_type
+"""
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.stddev_pop("n_chars"), 6).alias("std_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+_SQL_CORPUS_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+  ROUND(AVG(n_chars), 6) AS avg_chars,
+  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+  ROUND(STDDEV_POP(n_chars), 6) AS std_chars,
+  COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-deduction quality scoring ladder (P8/P9,
+    04_…/feature_extractor.py:220-227)."""
+    ev = _t(spark, sf_dir, "events")
+    score = F.greatest(
+        F.lit(1.0)
+        - F.when(F.col("value") > 180, F.lit(0.3)).otherwise(F.lit(0.0))
+        - F.when(F.col("value") < 20, F.lit(0.3)).otherwise(F.lit(0.0))
+        - F.when(F.col("event_type") == "error", F.lit(0.3)).otherwise(F.lit(0.0)),
+        F.lit(0.0),
+    )
+    ev = ev.withColumn("score", score)
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.avg((F.col("score") >= 0.7).cast("int")), 6).alias("pass_rate"),
+    )
+
+_SQL_QUALITY_SCORE = """
+WITH s AS (
+  SELECT event_type,
+    GREATEST(1.0
+      - CASE WHEN value > 180 THEN 0.3 ELSE 0.0 END
+      - CASE WHEN value < 20 THEN 0.3 ELSE 0.0 END
+      - CASE WHEN event_type = 'error' THEN 0.3 ELSE 0.0 END, 0.0) AS score
+  FROM events)
+SELECT event_type, ROUND(AVG(score), 6) AS avg_score,
+  ROUND(AVG(CASE WHEN score >= 0.7 THEN 1 ELSE 0 END), 6) AS pass_rate
+FROM s GROUP BY event_type
+"""
+
+def _q_snr_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived SNR/CV/stability aggregates (A9,
+    04_…/feature_extractor.py:370-374, feature_extraction.py:316-324)."""
+    ev = _t(spark, sf_dir, "events")
+    out = _ST.snr_metrics(ev, ["event_type"], "value", noise_q=0.10)
+    return out.select(
+        "event_type",
+        "n",
+        F.round("snr_db", 6).alias("snr_db"),
+        F.round("cv", 6).alias("cv"),
+        F.round("stability", 6).alias("stability"),
+    )
+
+# ln(x)/ln(10) (NOT the C log10) so the double math matches Spark's
+# Logarithm(base, expr) bit-for-bit
+_SQL_SNR_STABILITY = """
+SELECT event_type, COUNT(*) AS n,
+  ROUND(20.0 * (LN(AVG(value) / (QUANTILE_CONT(value, 0.10) + 1e-8))
+                / LN(10.0)), 6) AS snr_db,
+  ROUND(STDDEV_POP(value) / (AVG(value) + 1e-8), 6) AS cv,
+  ROUND(1.0 - STDDEV_POP(value) / (AVG(ABS(value)) + 1e-8), 6) AS stability
+FROM events GROUP BY event_type
+"""
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width distribution analysis (A10, evaluation/evaluator.py:149-206)."""
+    ev = _t(spark, sf_dir, "events")
+    return _ST.histogram_counts(
+        ev, "value", lo=0.0, hi=200.0, nbins=20, group_cols=["event_type"]
+    )
+
+_SQL_VALUE_HISTOGRAM = """
+SELECT event_type,
+  LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS INT), 0), 19) AS bucket,
+  COUNT(*) AS n
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY 1, 2
+"""
+
+def _q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key grouped reporting with subtotals (A6,
+    dtw_alignment.py:1519-1552) — ROLLUP grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("grp"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "grp", "n", "total_price")
+    )
+
+def _q_vector_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Arrow-kernel template: per-row moment stats of the embedding
+    vector via ONE Series→Series pandas_udf (float64 accumulation in array
+    order — the reference's per-entity numpy semantics,
+    core/feature_extractor.py:99-101)."""
+    from audio_feature_extraction_spark.operators.kernels import vector_stats
+
+    e = _t(spark, sf_dir, "embeddings")
+    s = vector_stats("embedding")
+    return e.select(
+        "vec_id",
+        F.round(s["mean"], 6).alias("v_mean"),
+        F.round(s["std"], 6).alias("v_std"),
+        F.round(s["vmin"], 6).alias("v_min"),
+        F.round(s["vmax"], 6).alias("v_max"),
+        F.round(s["l2"], 6).alias("v_l2"),
+    )
+
+_SQL_VECTOR_KERNEL = """
+WITH clean AS (
+  -- NaN elements are MISSING on both sides (kernels._vec_stats filters them)
+  SELECT vec_id,
+         list_filter(CAST(embedding AS DOUBLE[]), x -> NOT isnan(x)) AS e
+  FROM embeddings)
+SELECT vec_id,
+  ROUND((SELECT AVG(x) FROM UNNEST(e) AS t(x)), 6) AS v_mean,
+  ROUND((SELECT STDDEV_POP(x) FROM UNNEST(e) AS t(x)), 6) AS v_std,
+  ROUND((SELECT MIN(x) FROM UNNEST(e) AS t(x)), 6) AS v_min,
+  ROUND((SELECT MAX(x) FROM UNNEST(e) AS t(x)), 6) AS v_max,
+  ROUND(SQRT((SELECT SUM(x * x) FROM UNNEST(e) AS t(x))), 6) AS v_l2
+FROM clean
+"""
+
+def _q_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 full-matrix variant: CUBE over (lesson, student) analog keys —
+    per-lang × per-source rollups incl. both marginals
+    (dtw_alignment.py:1519-1552)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.grouping_id().alias("grp"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").cast("long")).alias("chars"),
+        )
+        .select("lang", "source", "grp", "n", "chars")
+    )
+
+_SQL_CUBE_REPORT = """
+SELECT lang, source,
+  GROUPING(lang) * 2 + GROUPING(source) AS grp,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+def _q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: count + exact distinct per group (evaluation/evaluator.py:70,
+    dtw_alignment.py:1431-1434). approx_count_distinct is the 100 TB form;
+    exact countDistinct here so the oracle comparison is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+_SQL_COUNT_DISTINCT = """
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+_SQL_ROLLUP_REPORT = """
+SELECT o_orderpriority, o_orderstatus,
+  GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS grp,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 explicit GROUPING SETS form: chosen subtotal combinations only —
+    (priority, status), (priority), (status) — not the full rollup lattice."""
+    o = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping_id() AS grp,
+               count(1) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+        """,
+        o=o,
+    )
+
+_SQL_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus,
+  GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS grp,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus))
+"""
+
+def _q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-entity × per-category report via the native pivot operator
+    (the reference's per-category metric matrices,
+    evaluation/evaluator.py:149-206). Pivot values are pinned so the plan is
+    deterministic (no extra distinct-scan job)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.avg("value"), 6))
+    )
+
+_SQL_PIVOT_REPORT = """
+SELECT user_id,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'error'), 6) AS error,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
+  ROUND(AVG(value) FILTER (WHERE event_type = 'view'), 6) AS view
+FROM events GROUP BY user_id
+"""

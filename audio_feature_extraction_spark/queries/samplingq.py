@@ -1,0 +1,58 @@
+"""Deterministic stratified and fixed-size sampling.
+
+Split out of __spark_entry__.py (registry-only now); see that module's
+docstring for the cross-engine oracle conventions all queries follow."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from audio_feature_extraction_spark.operators import quality as _Q
+from .common import _t
+
+
+_SAMPLE_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
+
+_SAMPLE_DEFAULT = 0.05
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling: md5-bucket filter, zero shuffles,
+    bit-reproducible across engines and partition layouts."""
+    d = _t(spark, sf_dir, "documents")
+    out = _Q.stratified_sample(
+        d, "doc_id", "source", _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    )
+    return out.select("doc_id", "source", "lang", "n_chars")
+
+def _sql_stratified_sample() -> str:
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " % 10000"
+    )
+    # round(), matching quality.stratified_sample's threshold derivation
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {round(r * 10000)}"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE {bucket} < (CASE {cases} ELSE {round(_SAMPLE_DEFAULT * 10000)} END)
+"""
+
+def _q_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size eval-set draw: exactly 3 docs per (source) stratum in
+    deterministic md5-hash order — same rows on any engine/layout."""
+    d = _t(spark, sf_dir, "documents")
+    out = _Q.take_per_stratum(d, "doc_id", "source", 3, out_rank="draw_rank")
+    return out.select("source", "draw_rank", "doc_id", "lang")
+
+def _sql_eval_sample() -> str:
+    h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS draw_rank
+  FROM documents)
+SELECT source, CAST(draw_rank AS INT) AS draw_rank, doc_id, lang
+FROM ranked WHERE draw_rank <= 3
+"""

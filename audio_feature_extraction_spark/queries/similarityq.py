@@ -1,0 +1,253 @@
+"""Embedding similarity search (brute force, LSH, IVF, Arrow) and multimodal.
+
+Split out of __spark_entry__.py (registry-only now); see that module's
+docstring for the cross-engine oracle conventions all queries follow."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from audio_feature_extraction_spark.operators import multimodal as _M
+from audio_feature_extraction_spark.operators import similarity as _S
+from .common import _t
+
+
+# --------------------------------------------------------------------------
+# similarity search suite (embeddings table)
+# --------------------------------------------------------------------------
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _S.brute_force_topk(emb, queries, k=10)
+
+_SQL_ANN_TOPK = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.qe, v.e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+       * sqrt(list_sum(list_transform(v.e, x -> x * x)))) AS cos
+  FROM v, q WHERE v.vec_id != q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
+FROM ranked WHERE rank <= 10
+"""
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _S.lsh_bucketed_topk(emb, queries, k=10)
+
+def _sql_ann_lsh() -> str:
+    """DuckDB twin of lsh_bucketed_topk: identical plan-time hyperplane
+    literals, identical sequential double math, multiprobe at hamming ≤ 1 —
+    so the approximate result is deterministic and exactly checkable."""
+    planes = _S._plane_literals(8, 64, 7)
+    bits = " + ".join(
+        "(CASE WHEN list_sum(list_transform(list_zip(e, ["
+        + ", ".join(repr(x) for x in plane)
+        + "]), x -> x[1] * x[2])) > 0 THEN "
+        + str(1 << p)
+        + " ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(8)])
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {bits} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, unnest([{probes}]) AS bucket
+      FROM sig WHERE vec_id < 10),
+cand AS (SELECT q.query_id, s.vec_id AS neighbor_id, q.qe, s.e
+         FROM sig s JOIN q ON s.bucket = q.bucket
+         WHERE s.vec_id != q.query_id),
+scored AS (SELECT query_id, neighbor_id,
+    list_sum(list_transform(list_zip(qe, e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+       * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+  FROM cand),
+ranked AS (SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
+FROM ranked WHERE rank <= 10
+"""
+
+IVF_CELLS, IVF_NPROBE, IVF_SEED = 16, 4, 11
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the scale path beside LSH): corpus pruned to
+    the query's nprobe nearest cells, exact cosine re-rank inside."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _S.ivf_topk(
+        emb, queries, k=10, n_cells=IVF_CELLS, nprobe=IVF_NPROBE, seed=IVF_SEED
+    )
+
+def _sql_ann_ivf() -> str:
+    """DuckDB twin of ivf_topk: identical centroid literals, identical
+    -2·(v·c)+|c|² rank math, lexicographic struct ordering for ties."""
+    cents = _S._centroid_literals(IVF_CELLS, 64, IVF_SEED)
+    ds = ", ".join(
+        "struct_pack(d := -2.0 * list_sum(list_transform(list_zip(e, ["
+        + ", ".join(repr(x) for x in c)
+        + "]), x -> x[1] * x[2])) + "
+        + repr(float(sum(x * x for x in c)))
+        + ", c := "
+        + str(i)
+        + ")"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (SELECT vec_id, e, [{ds}] AS ds FROM v),
+c AS (SELECT vec_id AS neighbor_id, e, list_sort(ds)[1].c AS cell FROM d),
+q AS (SELECT vec_id AS query_id, e AS qe,
+             unnest(list_transform(list_sort(ds)[1:{IVF_NPROBE}], s -> s.c))
+               AS cell
+      FROM d WHERE vec_id < 10),
+scored AS (SELECT q.query_id, c.neighbor_id,
+    list_sum(list_transform(list_zip(q.qe, c.e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+       * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos
+  FROM c JOIN q ON c.cell = q.cell
+  WHERE c.neighbor_id != q.query_id),
+ranked AS (SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
+FROM ranked WHERE rank <= 10
+"""
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing over synthesized payloads (no media
+    codecs in this container; deterministic md5-derived fake decoder, real
+    Arrow mapInPandas path — the oracle reproduces the features in SQL)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = _M.extract_media_features(_M.with_media_meta(d), fake=True)
+    return out.select(
+        "doc_id",
+        F.size("media_features").alias("feat_dim"),
+        F.round(F.element_at("media_features", 1), 6).alias("f0"),
+        F.round(F.element_at("media_features", 8), 6).alias("f7"),
+        F.round(
+            F.aggregate("media_features", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("f_sum"),
+    )
+
+def _sql_media_features() -> str:
+    """SQL twin of multimodal._fake_decode: feature i =
+    int64(md5(payload || '|' || i)[:12 hex]) / 2^48, payload = utf-8 text."""
+    def feat(i: int) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5(text || '|{i}'), 1, 12)) AS BIGINT)"
+            " / 281474976710656.0)"
+        )
+
+    fsum = " + ".join(feat(i) for i in range(_M.FEATURE_DIM))
+    return f"""
+SELECT doc_id, CAST({_M.FEATURE_DIM} AS INT) AS feat_dim,
+  ROUND({feat(0)}, 6) AS f0,
+  ROUND({feat(7)}, 6) AS f7,
+  ROUND((0.0 + {fsum}), 6) AS f_sum
+FROM documents
+"""
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("int").alias("n_frames")
+    )
+    return _M.frame_sample_plan(d, every=10).select("doc_id", "frame_idx")
+
+_SQL_FRAME_SAMPLE = """
+SELECT doc_id,
+       unnest(generate_series(0, n_chars - 1, 10)) AS frame_idx
+FROM documents
+WHERE n_chars > 0
+"""
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (the embedding analog of minhash-LSH)
+# --------------------------------------------------------------------------
+
+NEARDUP_COS = 0.9
+
+NEARDUP_PLANT = 50  # planted dupes: vec_id < 50 rescaled by 1.001, id +100000
+
+def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw embeddings are random (max pairwise cos ≈ 0.49), so plant
+    deterministic near-duplicates: scaled copies (cos = 1.0) of the first
+    NEARDUP_PLANT vectors. The operator must recover exactly those pairs."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") < NEARDUP_PLANT).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    return emb.unionByName(dupes)
+
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _S.cosine_neardup_pairs(
+        _emb_with_planted(spark, sf_dir), threshold=NEARDUP_COS
+    )
+
+def _sql_emb_neardup() -> str:
+    """DuckDB twin replicates the hyperplane bucketing exactly (same plane
+    literals, same sequential double math), so the check is exact."""
+    planes = _S._plane_literals(8, 64, 7)
+    bits = " + ".join(
+        "(CASE WHEN list_sum(list_transform(list_zip(e, ["
+        + ", ".join(repr(x) for x in plane)
+        + "]), x -> x[1] * x[2])) > 0 THEN "
+        + str(1 << p)
+        + " ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+v AS (SELECT vec_id, e FROM v0
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(e, x -> x * 1.001)
+      FROM v0 WHERE vec_id < {NEARDUP_PLANT}),
+sig AS (SELECT vec_id, e, {bits} AS bucket FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))
+    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+     * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cos
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))
+    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+     * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= {NEARDUP_COS}
+"""
+
+def _q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS twin of ann_cosine_topk: broadcast query matrix, one
+    matmul per corpus batch, margin-guarded per-batch cut, global window
+    top-k. Rank on round(cos,6) + id on both engines (summation-order
+    robustness — see similarity.brute_force_topk_arrow)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _S.brute_force_topk_arrow(emb, queries, k=10)
+
+_SQL_ANN_TOPK_ARROW = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+    ROUND(list_sum(list_transform(list_zip(q.qe, v.e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+       * sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6) AS cos
+  FROM v, q WHERE v.vec_id != q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cos
+FROM ranked WHERE rank <= 10
+"""

@@ -1,0 +1,265 @@
+"""Text analysis: language-ID, quality, repetition, contamination, vocab.
+
+Split out of __spark_entry__.py (registry-only now); see that module's
+docstring for the cross-engine oracle conventions all queries follow."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from audio_feature_extraction_spark.operators import dedup as _D
+from audio_feature_extraction_spark.operators import text as _T
+from audio_feature_extraction_spark.operators import quality as _Q
+from .common import _t
+from .flagship import _sequences_from_events
+from .dedupq import _duck_word_hash
+
+
+# --------------------------------------------------------------------------
+# text analysis suite
+# --------------------------------------------------------------------------
+
+
+def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        _T.whitespace_token_count("text").alias("wc"),
+        _T.bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.round(_T.quality_score("text"), 6).alias("quality"),
+        _T.lang_id("text").alias("lang_pred"),
+        _T.doc_fingerprint("text").alias("fingerprint"),
+    )
+    # min-shingle via the explode plan, not the array-transform column:
+    # higher-order lambdas are interpreted (CodegenFallback), so one extra
+    # keyed agg + join beats per-row gram building (~2× on this query)
+    msf = (
+        _D.shingles(d, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(F.min(_D.portable_word_hash(F.col("shingle"))).alias("min_shingle_fp"))
+    )
+    return base.join(msf, "doc_id", "left")
+
+def _sql_text_features() -> str:
+    def _hits_expr(markers: list[str]) -> str:
+        # mirror text.marker_hits: word-count for ASCII markers, substring
+        # occurrence count for CJK (space-free scripts never word-match)
+        word_ms = [m for m in markers if m.isascii()]
+        sub_ms = [m for m in markers if not m.isascii()]
+        parts = []
+        if word_ms:
+            parts.append(
+                "len(list_filter(string_split(text,' '), "
+                f"w -> list_contains({word_ms!r}, w)))"
+            )
+        for m in sub_ms:
+            parts.append(
+                f"CAST((length(text) - length(replace(text, '{m}', '')))"
+                f" / {len(m)} AS INT)"
+            )
+        return " + ".join(parts)
+
+    marker_hits = {
+        lang: _hits_expr(markers) for lang, markers in _T.LANG_MARKERS.items()
+    }
+    gm = "GREATEST(" + ", ".join(f"h_{l}" for l in _T.LANG_MARKERS) + ")"
+    lang_case = "CASE WHEN " + gm + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{l} = {gm} THEN '{l}'" for l in _T.LANG_MARKERS
+    ) + " END"
+    hit_cols = ", ".join(f"{expr} AS h_{l}" for l, expr in marker_hits.items())
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    len(string_split(text, ' ')) AS wc,
+    len(regexp_extract_all(text, '{_T.BPE_ISH_PATTERN}')) AS bpe_tokens,
+    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+    {hit_cols}
+  FROM documents),
+q AS (
+  SELECT *,
+    n_distinct / wc AS dwr,
+    (length(text) - (wc - 1)) / wc AS awl
+  FROM base),
+sh AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+  FROM (SELECT doc_id, string_split(text,' ') AS words,
+               unnest(generate_series(1, len(string_split(text,' ')) - 2)) AS i
+        FROM documents)),
+msf AS (SELECT doc_id, MIN({_duck_word_hash('s')}) AS min_shingle_fp
+        FROM sh GROUP BY doc_id)
+SELECT q.doc_id, wc, bpe_tokens,
+  ROUND(GREATEST(1.0
+    - CASE WHEN wc < 20 THEN 0.3 ELSE 0.0 END
+    - CASE WHEN dwr < 0.4 THEN 0.3 ELSE 0.0 END
+    - CASE WHEN awl < 2.5 OR awl > 12.0 THEN 0.3 ELSE 0.0 END, 0.0), 6)
+    AS quality,
+  {lang_case} AS lang_pred,
+  md5(text) AS fingerprint,
+  msf.min_shingle_fp
+FROM q LEFT JOIN msf ON q.doc_id = msf.doc_id
+"""
+
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc: duplicated bigram/trigram
+    fraction + most-frequent-word dominance, all from ONE posexplode pass
+    (one exchange; the rollup chain reuses the hash(doc_id) partitioning —
+    see quality.repetition_stats)."""
+    d = _t(spark, sf_dir, "documents")
+    return _Q.repetition_stats(d, "doc_id", "text")
+
+_SQL_DOC_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS wc
+  FROM documents),
+g2 AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w)),
+g3 AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w)),
+d2 AS (SELECT doc_id, ROUND(1.0 - COUNT(DISTINCT g) / COUNT(*), 6) AS dup2_frac
+       FROM g2 GROUP BY doc_id),
+d3 AS (SELECT doc_id, ROUND(1.0 - COUNT(DISTINCT g) / COUNT(*), 6) AS dup3_frac
+       FROM g3 GROUP BY doc_id),
+wordcounts AS (
+  SELECT doc_id, word, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+  GROUP BY doc_id, word),
+top AS (
+  SELECT doc_id, word, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, word) AS rn
+  FROM wordcounts)
+SELECT w.doc_id, d2.dup2_frac, d3.dup3_frac,
+       top.word AS top_word,
+       CAST(top.n AS BIGINT) AS top_word_count,
+       ROUND(top.n / w.wc, 6) AS top_word_frac
+FROM w
+LEFT JOIN d2 ON w.doc_id = d2.doc_id
+LEFT JOIN d3 ON w.doc_id = d3.doc_id
+JOIN top ON w.doc_id = top.doc_id AND top.rn = 1
+"""
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: 3-gram shingle overlap between the
+    corpus (doc_id % 97 != 0) and a broadcast benchmark set (% 97 == 0).
+    Inverted-index join — never an all-pairs comparison. (Real corpora use
+    longer shingles, e.g. 8-grams; the synthetic vocab is tiny so 3-grams
+    keep the matched set large enough to gate on.)"""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return _Q.contamination_overlap(
+        corpus, bench, "doc_id", "text", n=3, min_overlap=1
+    ).select("doc_id", F.col("overlap").cast("long").alias("overlap"))
+
+_SQL_CONTAMINATION = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+    {_duck_word_hash("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS h
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w)),
+corpus AS (SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 97 != 0),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+SELECT corpus.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+FROM corpus JOIN bench ON corpus.h = bench.h
+GROUP BY corpus.doc_id
+HAVING COUNT(*) >= 1
+"""
+
+def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram for batch-shape planning: power-of-two
+    n_chars buckets per source (bit-exact bucket labels)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "source", _Q.pow2_length_bucket(F.col("n_chars")).alias("len_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+_SQL_LENGTH_BUCKETS = """
+SELECT source,
+  CASE WHEN n_chars <= 0 THEN 0
+       ELSE CAST(power(2.0, length(bin(CAST(n_chars AS BIGINT))) - 1) AS BIGINT)
+  END AS len_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# token-payload suite: vocabulary histogram, packed-batch rollup, per-session
+# token throughput (the north rule's payload is pre-tokenized sequences)
+# --------------------------------------------------------------------------
+
+
+def _q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary histogram over the pre-tokenized sequences: explode the
+    tokens array, one keyed agg (map-side combine collapses the explode
+    blow-up before the exchange — at 10^12 sequences the shuffle carries
+    |vocab| × partials, not one row per token occurrence)."""
+    seq = _sequences_from_events(spark, sf_dir)
+    return (
+        seq.select(
+            "doc_id", "n_tok", F.explode("tokens").alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_ntok"),
+        )
+    )
+
+_SQL_TOKEN_VOCAB = """
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(event_id % 31 + 2 AS INT) AS n_tok
+  FROM events),
+t AS (SELECT doc_id, n_tok, unnest(generate_series(1, n_tok)) AS token FROM s)
+SELECT CAST(token AS INT) AS token,
+  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS sum_ntok
+FROM t GROUP BY token
+"""
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON composition both directions: parse the props JSON column
+    (get_json_object → typed), aggregate, and re-emit a canonical compact
+    JSON summary string (to_json(struct(...)) — byte-identical to DuckDB's
+    json_object, both engines print compact key-insertion-order JSON)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    agg = ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+    return agg.withColumn(
+        "summary",
+        F.to_json(
+            F.struct(F.col("event_type").alias("t"), F.col("max_k").alias("mx"))
+        ),
+    )
+
+_SQL_JSON_PROPS = """
+WITH k AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  ROUND(AVG(k), 6) AS avg_k,
+  MAX(k) AS max_k,
+  CAST(json_object('t', event_type, 'mx', MAX(k)) AS VARCHAR) AS summary
+FROM k GROUP BY event_type
+"""
