@@ -150,6 +150,55 @@ def ngram_jaccard_pairs(
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """DIRECTED containment |A∩B| / |A| ≥ threshold: the asymmetric twin of
+    :func:`ngram_jaccard_pairs` that catches SUB-document duplication (a
+    short doc embedded verbatim in a longer one scores low on jaccard —
+    union-normalized — but 1.0 on containment). Same inverted-index shape:
+    one shingle self-join, candidate-only arithmetic, ``df_cap``
+    stop-shingle drop; the per-pair intersection is computed once and
+    emitted in both directions. Output (id_sub, id_super, containment)
+    with id_sub != id_super."""
+    sh = shingles(df, id_col, text_col, n)
+    if df_cap is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > df_cap)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    directed = both.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        (F.col("inter") / F.col("n_a")).alias("containment"),
+    ).unionAll(
+        both.select(
+            F.col("id_b").alias("id_sub"),
+            F.col("id_a").alias("id_super"),
+            (F.col("inter") / F.col("n_b")).alias("containment"),
+        )
+    )
+    return directed.where(F.col("containment") >= F.lit(threshold)).select(
+        "id_sub", "id_super", F.round("containment", 6).alias("containment")
+    )
+
+
 # --------------------------------------------------------------- MinHash LSH
 
 

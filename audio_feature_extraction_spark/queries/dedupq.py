@@ -179,3 +179,38 @@ r AS (
   FROM b)
 SELECT event_id, user_id, win_start_us FROM r WHERE rn = 1
 """
+
+
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric sub-document duplication: directed containment
+    |A∩B|/|A| >= 0.8 over capped 3-gram shingles (the containment twin of
+    `dedup_ngram_jaccard`; catches a short doc embedded in a longer one,
+    which union-normalized jaccard misses)."""
+    return _D.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8, df_cap=NGRAM_DF_CAP,
+    )
+
+
+def _sql_containment(df_cap: int) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+        FROM d),
+sh AS (SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s FROM idx),
+kept AS (SELECT * FROM sh WHERE s NOT IN
+         (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {df_cap})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+directed AS (
+  SELECT id_a AS id_sub, id_b AS id_super, inter / sa.n AS containment
+  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+  UNION ALL
+  SELECT id_b AS id_sub, id_a AS id_super, inter / sb.n AS containment
+  FROM pairs JOIN sizes sb ON id_b = sb.doc_id)
+SELECT id_sub, id_super, ROUND(containment, 6) AS containment
+FROM directed WHERE containment >= 0.8
+"""

@@ -263,3 +263,84 @@ SELECT event_type,
   CAST(json_object('t', event_type, 'mx', MAX(k)) AS VARCHAR) AS summary
 FROM k GROUP BY event_type
 """
+
+
+def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: per-doc mean unigram surprisal
+    -ln(count(w)/N) under the corpus's own unigram distribution — the
+    cheapest perplexity proxy a curation pipeline runs before a real LM.
+    Two aggregations + one word-keyed join; the corpus total N rides along
+    as a broadcast single-row frame (never a driver constant baked into
+    the plan, so the query stays one lazy DAG)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    counts = w.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = w.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        w.join(counts, "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("c") / F.col("n"))).alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg("s"), 6).alias("mean_surprisal"),
+    )
+
+
+_SQL_UNIGRAM_SURPRISAL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+t AS (SELECT COUNT(*)::DOUBLE AS n FROM w)
+SELECT doc_id, COUNT(*) AS n_words,
+       ROUND(AVG(-ln(c.c / t.n)), 6) AS mean_surprisal
+FROM w JOIN c USING (w) CROSS JOIN t
+GROUP BY doc_id
+"""
+
+
+def _q_top_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 trigrams per source by document frequency (deterministic
+    tiebreak: count desc, ngram asc) — the boilerplate-discovery report of
+    a curation pass. Scale shape: the per-source ranking window is fed by a
+    salted pre-prune (top-5 per (source, hash(shingle)%32) cell first), so
+    no single task ever sorts a whole source's shingle histogram — the
+    same unpartitioned-window dodge as take_per_stratum."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _D.shingles(docs, "doc_id", "text", 3)
+    cnt = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+    )
+    order = [F.col("df_count").desc(), F.col("shingle")]
+    pre = Window.partitionBy(
+        "source", F.pmod(F.xxhash64("shingle"), F.lit(32))
+    ).orderBy(*order)
+    pruned = (
+        cnt.withColumn("_p", F.row_number().over(pre))
+        .where(F.col("_p") <= 5)
+        .drop("_p")
+    )
+    w = Window.partitionBy("source").orderBy(*order)
+    return (
+        pruned.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("source", F.col("shingle").alias("ngram"), "df_count", "rk")
+    )
+
+
+_SQL_TOP_NGRAMS_BY_SOURCE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+        FROM d),
+sh AS (SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s FROM idx),
+c AS (SELECT source, s, COUNT(*) AS df_count
+      FROM sh JOIN documents USING (doc_id) GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY df_count DESC, s) AS rk FROM c)
+SELECT source, s AS ngram, df_count, rk FROM r WHERE rk <= 5
+"""

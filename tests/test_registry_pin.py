@@ -10,8 +10,8 @@ import hashlib
 
 import __spark_entry__ as em
 
-PINNED_N = 78
-PINNED_SHA = "b16045a060a2d1b54080f973c252f037fe64355c585b3efbd318d4b8b6f8ca91"
+PINNED_N = 81
+PINNED_SHA = "ed360284aa8aa60bc47073ecb13a4b5babe10fa5522b96d2ea71fabc11937f61"
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",
     "delta9", "rolling_median", "savgol_smooth", "running_totals",
