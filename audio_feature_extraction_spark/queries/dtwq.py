@@ -5,7 +5,7 @@ docstring for the cross-engine oracle conventions all queries follow."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from .common import _WU, _t, _uw
 

@@ -5,7 +5,7 @@ docstring for the cross-engine oracle conventions all queries follow."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from audio_feature_extraction_spark.operators.rangejoin import band_join_stats
 from .common import _t

@@ -5,7 +5,7 @@ docstring for the cross-engine oracle conventions all queries follow."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from audio_feature_extraction_spark.operators import quality as _Q
 from .common import _t
 
