@@ -143,13 +143,27 @@ def dtw_join(
     diag_weight: float = 1.0,
     step_weight: float = 1.0,
     band: int | None = None,
+    num_partitions: int | None = 32,
 ) -> DataFrame:
     """Per-key exact DTW: cogroup both sides on the pair key, sort each
     side's frames by ``order_col``, run the banded DP, emit one row per key:
     (keys..., n, m, dtw_dist, dtw_norm, path_len). Keys present on only one
     side yield NULL distances (the missing-partner case,
-    `dtw_alignment.py:1443-1472`)."""
+    `dtw_alignment.py:1443-1472`).
+
+    ``num_partitions``: explicit pre-partitioning on the pair key. The DP
+    stage is Python-HEAVY but byte-LIGHT, so AQE's size-based partition
+    coalescing would collapse the cogroup shuffle to ~1 task and run every
+    pair's kernel serially (measured 8.5 s for 1500 trivial pairs at
+    sf0.1). An explicit ``repartition(n, keys)`` satisfies the cogroup's
+    clustered-distribution requirement, Spark adds no further exchange,
+    and AQE leaves user-specified repartitions alone — pairs stay spread
+    across ``n`` concurrent kernel tasks. Pass None to let AQE decide
+    (right when per-pair matrices are large enough to dominate)."""
     feature_cols = feature_cols or ["value"]
+    if num_partitions is not None:
+        left = left.repartition(num_partitions, *on)
+        right = right.repartition(num_partitions, *on)
     key_fields = ", ".join(
         f"{k} {left.schema[k].dataType.simpleString()}" for k in on
     )

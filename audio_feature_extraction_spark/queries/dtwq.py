@@ -52,9 +52,18 @@ def _q_dtw_band_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     left, right = side("click"), side("view")
     # restrict to pair keys present on BOTH sides (the oracle's pair list);
     # one-sided keys are dtw_join's NULL-distance path, tested in test_dtw
-    common = side("click").select("user_id").distinct().join(
-        side("view").select("user_id").distinct(), "user_id"
-    )
+    # membership needs no row_number window (a user with >= 1 event always
+    # has seq 1 <= cap): plain filtered distincts keep the broadcast-build
+    # jobs to two cheap scans instead of two full window computations
+    def users(event_type: str) -> DataFrame:
+        return (
+            _t(spark, sf_dir, "events")
+            .where(F.col("event_type") == event_type)
+            .select("user_id")
+            .distinct()
+        )
+
+    common = users("click").join(users("view"), "user_id")
     out = dtw_join(
         left.join(F.broadcast(common), "user_id"),
         right.join(F.broadcast(common), "user_id"),

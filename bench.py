@@ -50,6 +50,12 @@ HEADLINE = [
     "contamination",
     "packed_tokens",
     "ann_topk_arrow",
+    # new in r03
+    "dtw_band_cost",
+    "dedup_clusters",
+    "dedup_containment",
+    "unigram_surprisal",
+    "top_ngrams_by_source",
 ]
 
 

@@ -214,3 +214,46 @@ def test_repetition_stats_matches_pandas(spark, docs):
         assert row["top_word_frac"] == pytest.approx(
             round(top_n / len(ws), 6), abs=1e-6
         )
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(edges=edges_strategy)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation vs a local union-find on random
+    graphs (self-loops, duplicate and reversed edges included)."""
+    from audio_feature_extraction_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in range(n)}
+    # min-label invariant: union-find with min-root merging yields the min
+    # reachable id as the representative
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(e, nodes).collect()
+    }
+    assert got == want
