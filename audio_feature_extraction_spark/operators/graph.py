@@ -44,8 +44,18 @@ def connected_components(
         edges.select(F.col(edge_b).alias("src"), F.col(edge_a).alias("dst"))
     )
     sym = sym.localCheckpoint(eager=True)
-    lbl = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    # only edge-endpoint nodes ride the iteration: isolated nodes are their
+    # own singleton cluster by definition and would otherwise multiply every
+    # round's join/agg/checkpoint by |nodes| / |touched| (a dup graph is
+    # SPARSE — a few % of a 100 TB corpus has a near-dup partner)
+    all_nodes = nodes.select(F.col(id_col).alias("node"))
+    touched = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .join(all_nodes, "node", "left_semi")  # output universe = nodes
+    )
+    lbl = touched.select(
+        "node", F.col("node").alias("lbl")
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = (
@@ -77,4 +87,7 @@ def connected_components(
         lbl = new
         if changed == 0:
             break
-    return lbl.select("node", F.col("lbl").alias(out))
+    isolated = all_nodes.join(touched, "node", "left_anti").select(
+        "node", F.col("node").alias("lbl")
+    )
+    return lbl.unionAll(isolated).select("node", F.col("lbl").alias(out))
