@@ -304,10 +304,13 @@ GROUP BY doc_id
 def _q_top_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 trigrams per source by document frequency (deterministic
     tiebreak: count desc, ngram asc) — the boilerplate-discovery report of
-    a curation pass. Scale shape: the per-source ranking window is fed by a
-    salted pre-prune (top-5 per (source, hash(shingle)%32) cell first), so
-    no single task ever sorts a whole source's shingle histogram — the
-    same unpartitioned-window dodge as take_per_stratum."""
+    a curation pass. Scale shape: Spark 4 rewrites the rank<=k filter into
+    a map-side `WindowGroupLimit Partial` BEFORE the per-source exchange
+    (each input partition forwards only its own top 5), so the final
+    window sorts ≤ 5 × n_partitions rows per source — the
+    unpartitioned-window trap is handled by the optimizer natively here
+    (pinned by test_plan_shape); hand-rolled salting (take_per_stratum
+    style) is only needed for windows the rewrite can't see."""
     docs = _t(spark, sf_dir, "documents")
     sh = _D.shingles(docs, "doc_id", "text", 3)
     cnt = (
@@ -315,18 +318,11 @@ def _q_top_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "shingle")
         .agg(F.count(F.lit(1)).alias("df_count"))
     )
-    order = [F.col("df_count").desc(), F.col("shingle")]
-    pre = Window.partitionBy(
-        "source", F.pmod(F.xxhash64("shingle"), F.lit(32))
-    ).orderBy(*order)
-    pruned = (
-        cnt.withColumn("_p", F.row_number().over(pre))
-        .where(F.col("_p") <= 5)
-        .drop("_p")
+    w = Window.partitionBy("source").orderBy(
+        F.col("df_count").desc(), F.col("shingle")
     )
-    w = Window.partitionBy("source").orderBy(*order)
     return (
-        pruned.withColumn("rk", F.row_number().over(w))
+        cnt.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 5)
         .select("source", F.col("shingle").alias("ngram"), "df_count", "rk")
     )

@@ -136,3 +136,32 @@ def test_repetition_stats_exchanges_only_on_doc_id(spark):
     for k in keys:
         cols = [c.strip() for c in k.split(",")[:-1]]  # last item is numParts
         assert len(cols) == 1 and cols[0].startswith("doc_id"), k
+
+
+def test_top_ngrams_mapside_group_limit(spark):
+    """The rank<=5 filter must compile to a map-side WindowGroupLimit
+    BEFORE the per-source exchange (Spark 4's native top-k prune) — each
+    input partition forwards only its own top 5, so no task ever sorts a
+    whole source's shingle histogram."""
+    plan = _plan(em.queries()["top_ngrams_by_source"](spark, SF_DIR))
+    assert re.search(
+        r"WindowGroupLimit \[source#\d+\][^\n]*Partial", plan
+    ), plan
+    assert re.search(r"Window \[row_number\(\)[^\n]*\[source#\d+\],", plan), plan
+
+
+def test_dtw_cogroup_stays_parallel(spark):
+    """dtw_join pre-partitions on the pair key so AQE's size-based
+    coalescing cannot collapse the Python DP stage to one task: the plan
+    must carry the explicit REPARTITION_BY_NUM shuffle origin."""
+    plan = _plan(em.queries()["dtw_band_cost"](spark, SF_DIR))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+
+
+def test_unigram_surprisal_broadcast_total(spark):
+    """The corpus-total single-row frame joins via broadcast nested loop —
+    never a real cartesian shuffle."""
+    plan = _plan(em.queries()["unigram_surprisal"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
