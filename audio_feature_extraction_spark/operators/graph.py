@@ -91,3 +91,94 @@ def connected_components(
         "node", F.col("node").alias("lbl")
     )
     return lbl.unionAll(isolated).select("node", F.col("lbl").alias(out))
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (hi, lo) pairs, hi > lo, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("hi", "lo").alias("hi"), F.least("hi", "lo").alias("lo")
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple:
+    # bit_xor: order-independent and overflow-free (an int64 SUM of hashes
+    # would throw under the engine's ANSI-on sessions)
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    edge_a: str = "id_a",
+    edge_b: str = "id_b",
+    out: str = "cluster_id",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Large-star/small-star connected components — the O(log n)-round
+    escalation of :func:`connected_components` for graphs whose component
+    DIAMETER is large (adversarial chains), where per-round min-label
+    propagation would need diameter rounds. Alternates:
+
+    - **large-star**: every node hooks its LARGER neighbors to the minimum
+      of its closed neighborhood — halves long paths;
+    - **small-star**: every node hooks its smaller-or-equal neighbors (and
+      itself) to that minimum — flattens partial stars.
+
+    Each phase is one shuffle groupBy(min) + one join, on the canonical
+    (hi > lo) edge set; convergence when the edge multiset fingerprint
+    (count + sum of xxhash64) is stable, at which point every edge points
+    a node directly at its component minimum. Node ids must be totally
+    ordered (numeric or string). Same output contract as
+    :func:`connected_components`; the two are property-tested equal."""
+    e = _canonical(
+        edges.select(F.col(edge_a).alias("hi"), F.col(edge_b).alias("lo"))
+    ).localCheckpoint(eager=True)
+    all_nodes = nodes.select(F.col(id_col).alias("node"))
+    fp = _edge_fingerprint(e)
+    for _ in range(max_iter):
+        # large-star: sym neighborhoods; m(u) = min(neighbors ∪ u);
+        # for v in neighbors, v > u: new edge (v, m)
+        sym = e.select("hi", "lo").unionAll(
+            e.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+        )
+        m = sym.groupBy(F.col("hi").alias("u")).agg(
+            F.least(F.min("lo"), F.first("hi")).alias("m")
+        )
+        large = (
+            sym.join(m, sym["hi"] == m["u"])
+            .where(F.col("lo") > F.col("hi"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        e = _canonical(large).localCheckpoint(eager=True)
+        # small-star on the directed (hi -> lo) set: m(h) = min(lo nbrs);
+        # hook every lo neighbor and h itself to m
+        mn = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        hooked = e.join(mn, "hi")
+        small = hooked.select(
+            F.col("lo").alias("hi"), F.col("m").alias("lo")
+        ).unionAll(hooked.select("hi", F.col("m").alias("lo")))
+        e = _canonical(small).localCheckpoint(eager=True)
+        nfp = _edge_fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    # converged: each non-min node appears as hi exactly once, pointing at
+    # its component min; min + isolated nodes label themselves
+    lbl = e.select(F.col("hi").alias("node"), F.col("lo").alias("lbl"))
+    self_lbl = all_nodes.join(lbl, "node", "left_anti").select(
+        "node", F.col("node").alias("lbl")
+    )
+    return (
+        lbl.join(all_nodes, "node", "left_semi")
+        .unionAll(self_lbl)
+        .select("node", F.col("lbl").alias(out))
+    )

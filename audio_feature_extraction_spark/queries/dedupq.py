@@ -214,3 +214,23 @@ directed AS (
 SELECT id_sub, id_super, ROUND(containment, 6) AS containment
 FROM directed WHERE containment >= 0.8
 """
+
+
+def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster semantics as `dedup_clusters`, computed by the
+    large-star/small-star O(log n)-round contraction instead of min-label
+    propagation — the two algorithms share one oracle, so the driver gate
+    proves them equivalent end-to-end."""
+    from audio_feature_extraction_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, df_cap=NGRAM_DF_CAP
+    )
+    cc = connected_components_star(pairs, docs, id_col="doc_id")
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
+    )

@@ -234,3 +234,39 @@ def test_connected_components_no_edges(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     out = connected_components(empty, nodes).collect()
     assert {r["node"]: r["cluster_id"] for r in out} == {i: i for i in range(5)}
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star and min-label propagation must agree on random
+    graphs (both = min reachable id)."""
+    import random
+
+    from audio_feature_extraction_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 30
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    a = {r["node"]: r["cluster_id"] for r in connected_components(e, nodes).collect()}
+    b = {r["node"]: r["cluster_id"] for r in connected_components_star(e, nodes).collect()}
+    assert a == b
+
+
+def test_star_cc_long_chain(spark):
+    """A 64-node path: star contraction must reach the fixpoint well inside
+    the O(log n) budget (min-label would need 63 rounds)."""
+    from audio_feature_extraction_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 64
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    out = connected_components_star(e, nodes, max_iter=14).collect()
+    assert len(out) == n and all(r["cluster_id"] == 1 for r in out)

@@ -10,8 +10,8 @@ import hashlib
 
 import __spark_entry__ as em
 
-PINNED_N = 81
-PINNED_SHA = "ed360284aa8aa60bc47073ecb13a4b5babe10fa5522b96d2ea71fabc11937f61"
+PINNED_N = 82
+PINNED_SHA = "56c6eff181b7eb34abe173580b65e7c5bfb27a6b0854e217bec1283fec137809"
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",
     "delta9", "rolling_median", "savgol_smooth", "running_totals",
