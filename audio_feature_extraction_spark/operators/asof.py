@@ -321,18 +321,16 @@ def _broadcast_arrow_asof(
         return tuple(None if pd.isna(x) else x for x in key)
 
     # "small by contract" is enforced, not assumed: collecting a fat
-    # reference side would OOM the driver silently at scale. Fail fast and
-    # name the shuffle-based fallbacks instead.
-    from .similarity import MAX_DRIVER_COLLECT_ROWS, _guard_collect
+    # reference side would OOM the driver silently at scale. ONE bounded
+    # limit(cap+1) collect; fail fast naming the shuffle-based fallbacks.
+    from .similarity import MAX_DRIVER_COLLECT_ROWS, collect_guarded
 
-    _guard_collect(
-        right, "as-of reference (right)",
+    rp = collect_guarded(
+        right.select(*on, F.col(right_ts).alias("__rts"), *right_payload),
+        "as-of reference (right)",
         "range_merge or window (shuffle-based as-of)",
         MAX_DRIVER_COLLECT_ROWS,
     )
-    rp = right.select(
-        *on, F.col(right_ts).alias("__rts"), *right_payload
-    ).toPandas()
     rp = rp[rp["__rts"].notna()].sort_values("__rts", kind="mergesort")
     groups: dict[tuple, tuple] = {}
     for key, g in rp.groupby(list(on), dropna=False, sort=False):

@@ -37,7 +37,11 @@ def connected_components(
     undirected graph; isolated nodes are their own singleton cluster.
 
     ``edges`` may list each undirected pair once in either orientation;
-    duplicate edges are harmless (min-agg absorbs them)."""
+    duplicate edges are harmless (min-agg absorbs them). Edges incident to
+    an id absent from ``nodes`` are IGNORED (no relaying through
+    out-of-universe endpoints) — both CC implementations share this rule.
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence
+    (silently-partial labels would corrupt downstream cluster stats)."""
     sym = edges.select(
         F.col(edge_a).alias("src"), F.col(edge_b).alias("dst")
     ).unionAll(
@@ -57,6 +61,7 @@ def connected_components(
     lbl = touched.select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -87,6 +92,12 @@ def connected_components(
         lbl = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "connected_components_star (O(log n) rounds)."
+        )
     isolated = all_nodes.join(touched, "node", "left_anti").select(
         "node", F.col("node").alias("lbl")
     )
@@ -138,12 +149,21 @@ def connected_components_star(
     (count + sum of xxhash64) is stable, at which point every edge points
     a node directly at its component minimum. Node ids must be totally
     ordered (numeric or string). Same output contract as
-    :func:`connected_components`; the two are property-tested equal."""
-    e = _canonical(
-        edges.select(F.col(edge_a).alias("hi"), F.col(edge_b).alias("lo"))
-    ).localCheckpoint(eager=True)
+    :func:`connected_components` — including the shared rule that edges
+    incident to an id absent from ``nodes`` are ignored (filtered BEFORE
+    the contraction, so labels can never relay through, or land on, an
+    out-of-universe id); raises RuntimeError if ``max_iter`` rounds pass
+    without reaching the fixpoint (a pre-fixpoint edge set can carry one
+    node under multiple labels). The two implementations are
+    property-tested equal."""
     all_nodes = nodes.select(F.col(id_col).alias("node"))
+    raw = edges.select(F.col(edge_a).alias("hi"), F.col(edge_b).alias("lo"))
+    in_universe = raw.join(
+        all_nodes.select(F.col("node").alias("hi")), "hi", "left_semi"
+    ).join(all_nodes.select(F.col("node").alias("lo")), "lo", "left_semi")
+    e = _canonical(in_universe).localCheckpoint(eager=True)
     fp = _edge_fingerprint(e)
+    converged = False
     for _ in range(max_iter):
         # large-star: sym neighborhoods; m(u) = min(neighbors ∪ u);
         # for v in neighbors, v > u: new edge (v, m)
@@ -169,16 +189,18 @@ def connected_components_star(
         e = _canonical(small).localCheckpoint(eager=True)
         nfp = _edge_fingerprint(e)
         if nfp == fp:
+            converged = True
             break
         fp = nfp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter (rounds needed is O(log n))."
+        )
     # converged: each non-min node appears as hi exactly once, pointing at
     # its component min; min + isolated nodes label themselves
     lbl = e.select(F.col("hi").alias("node"), F.col("lo").alias("lbl"))
     self_lbl = all_nodes.join(lbl, "node", "left_anti").select(
         "node", F.col("node").alias("lbl")
     )
-    return (
-        lbl.join(all_nodes, "node", "left_semi")
-        .unionAll(self_lbl)
-        .select("node", F.col("lbl").alias(out))
-    )
+    return lbl.unionAll(self_lbl).select("node", F.col("lbl").alias(out))

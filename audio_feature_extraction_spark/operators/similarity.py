@@ -27,21 +27,27 @@ from pyspark.sql import functions as F
 
 # Hard cap on the number of rows a "small by contract" side may have before
 # we collect it to the driver for broadcast. At 64-dim float64 + id this is
-# ~0.5 KB/row -> ~2.5 GB at the cap, within a default driver heap. Callers
-# with genuinely bigger query sets must use the shuffle-based strategies.
-MAX_DRIVER_COLLECT_ROWS = 5_000_000
+# ~0.5-1 KB/row in pandas -> ~1-2 GB at the cap, which needs a driver heap
+# sized accordingly (spark.driver.memory >= 4g); size the cap DOWN for a
+# default 1g driver. Callers with genuinely bigger sides must use the
+# shuffle-based strategies.
+MAX_DRIVER_COLLECT_ROWS = 2_000_000
 
 
-def _guard_collect(df: DataFrame, side: str, fallback: str, cap: int) -> None:
-    """Fail fast (with the right fix named) instead of OOMing the driver when
-    a caller points a broadcast-collect path at a fat table."""
-    n = df.limit(cap + 1).count()
-    if n > cap:
+def collect_guarded(df: DataFrame, side: str, fallback: str, cap: int):
+    """Collect a 'small by contract' side to pandas, failing fast (with the
+    right fix named) instead of OOMing the driver when a caller points a
+    broadcast-collect path at a fat table. ONE bounded job: limit(cap+1)
+    collects at most cap+1 rows — no separate counting pass re-executing
+    the lineage, and never an unbounded materialization."""
+    pdf = df.limit(cap + 1).toPandas()
+    if len(pdf) > cap:
         raise ValueError(
             f"{side} side has more than {cap:,} rows; collecting it to the "
             f"driver for broadcast would risk an OOM. Use the {fallback} "
             f"strategy instead, or raise the cap explicitly."
         )
+    return pdf
 
 
 def _to_double(col: str | Column) -> Column:
@@ -326,9 +332,10 @@ def brute_force_topk_arrow(
     order would be summation-order-dependent."""
     import pandas as pd
 
-    _guard_collect(queries, "query", "brute_force_topk (broadcast-join)",
-                   max_query_rows)
-    qp = queries.select(id_col, vec_col).toPandas()
+    qp = collect_guarded(
+        queries.select(id_col, vec_col), "query",
+        "brute_force_topk (broadcast-join)", max_query_rows,
+    )
     Q = np.stack(qp[vec_col].to_numpy()).astype(np.float64)
     qids = qp[id_col].to_numpy().astype(np.int64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

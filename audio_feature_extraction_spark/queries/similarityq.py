@@ -72,7 +72,8 @@ scored AS (SELECT query_id, neighbor_id,
        * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
   FROM cand),
 ranked AS (SELECT *, ROW_NUMBER()
-    OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+      AS rank
   FROM scored)
 SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
 FROM ranked WHERE rank <= 10
@@ -118,7 +119,8 @@ scored AS (SELECT q.query_id, c.neighbor_id,
   FROM c JOIN q ON c.cell = q.cell
   WHERE c.neighbor_id != q.query_id),
 ranked AS (SELECT *, ROW_NUMBER()
-    OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+      AS rank
   FROM scored)
 SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
 FROM ranked WHERE rank <= 10

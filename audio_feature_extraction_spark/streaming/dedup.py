@@ -27,19 +27,26 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_UNIT_SECONDS = {
-    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+# every unit Spark's window()/watermark duration parser accepts
+_UNIT_MICROS = {
+    "microsecond": 1, "microseconds": 1,
+    "millisecond": 1_000, "milliseconds": 1_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+    "week": 604_800_000_000, "weeks": 604_800_000_000,
 }
 
 
-def _interval_seconds(interval: str) -> int:
-    """Parse a simple '<n> <unit> [<n> <unit> ...]' interval into seconds."""
+def _interval_micros(interval: str) -> int:
+    """Parse a '<n> <unit> [<n> <unit> ...]' interval into microseconds,
+    covering the same units Spark's duration parser accepts."""
     total = 0
     for num, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", interval):
-        if unit.lower() not in _UNIT_SECONDS:
+        if unit.lower() not in _UNIT_MICROS:
             raise ValueError(f"unsupported interval unit in {interval!r}")
-        total += int(num) * _UNIT_SECONDS[unit.lower()]
+        total += int(num) * _UNIT_MICROS[unit.lower()]
     if total == 0:
         raise ValueError(f"could not parse interval {interval!r}")
     return total
@@ -71,7 +78,8 @@ def stream_dedup_first(
     of the box; pass ``watermark`` explicitly only to override."""
     if watermark is None:
         watermark = (
-            f"{_interval_seconds(window) + _interval_seconds(lateness)} seconds"
+            f"{_interval_micros(window) + _interval_micros(lateness)}"
+            " microseconds"
         )
     win = F.window(F.col(ts), window)
     return (

@@ -270,3 +270,40 @@ def test_star_cc_long_chain(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
     out = connected_components_star(e, nodes, max_iter=14).collect()
     assert len(out) == n and all(r["cluster_id"] == 1 for r in out)
+
+
+def test_cc_out_of_universe_edges_ignored_consistently(spark):
+    """Edges incident to ids absent from `nodes` are ignored by BOTH CC
+    implementations — no relaying through, or labels landing on,
+    out-of-universe ids (review finding r03)."""
+    from audio_feature_extraction_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # x=99 outside the universe bridges 1-99-2: both impls must NOT merge
+    edges = spark.createDataFrame(
+        [(1, 99), (99, 2), (3, 4)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    for fn in (connected_components, connected_components_star):
+        got = {r["node"]: r["cluster_id"] for r in fn(edges, nodes).collect()}
+        assert got == {1: 1, 2: 2, 3: 3, 4: 3}, fn.__name__
+
+
+def test_cc_raises_when_not_converged(spark):
+    """Exhausting max_iter must raise, never return silently-partial
+    labels."""
+    import pytest
+
+    from audio_feature_extraction_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 6
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, nodes, max_iter=1)

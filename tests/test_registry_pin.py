@@ -11,7 +11,7 @@ import hashlib
 import __spark_entry__ as em
 
 PINNED_N = 82
-PINNED_SHA = "56c6eff181b7eb34abe173580b65e7c5bfb27a6b0854e217bec1283fec137809"
+PINNED_SHA = "6f4f74f90835fcc469ceab5daf83248279bf5f2a47a8c630526b1eb2bc16e65d"
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",
     "delta9", "rolling_median", "savgol_smooth", "running_totals",

@@ -267,3 +267,11 @@ def test_stream_dedup_one_row_per_window(spark, tiny_df, tmp_path):
     }
     got_pairs = {(d, pd.Timestamp(t)) for d, t in zip(got.doc_id, got.win_start)}
     assert got_pairs == want_pairs
+
+
+def test_interval_micros_covers_spark_units():
+    from audio_feature_extraction_spark.streaming.dedup import _interval_micros
+
+    assert _interval_micros("1 week") == 604_800_000_000
+    assert _interval_micros("500 milliseconds") == 500_000
+    assert _interval_micros("1 hour 30 minutes") == 5_400_000_000
