@@ -141,8 +141,20 @@ def asof_join(
     keyed by that subset (e.g. per-doc_id feature windows) reuses the same
     partitioning with zero further shuffles. This is how the flagship
     pipeline runs end-to-end on ONE exchange of the fat token rows.
+
+    ``direction="nearest"`` (pandas ``merge_asof`` parity; window/salted
+    strategies): the closer of the backward and forward candidates wins,
+    exact-tie broken toward backward; ``tolerance_sec`` filters each
+    candidate BEFORE the choice (a backward row within tolerance beats a
+    nearer-but-out-of-tolerance forward row, matching pandas). Plan shape:
+    both directions ride the SAME hash partitioning — one exchange, two
+    in-partition sorts.
     """
-    assert direction in ("backward", "forward")
+    assert direction in ("backward", "forward", "nearest")
+    if direction == "nearest":
+        assert strategy in ("window", "salted"), (
+            "nearest is implemented for the window/salted strategies"
+        )
     right_ts = right_ts or left_ts
     right_payload = [c for c in right.columns if c not in set(on) | {right_ts}]
 
@@ -182,18 +194,16 @@ def asof_join(
         )
         u = u.repartition(nparts, *cluster_on)
 
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*part_keys)
-            .orderBy(F.col(_TS).asc(), F.col(_MARK).desc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-    else:
-        w = (
-            Window.partitionBy(*part_keys)
-            .orderBy(F.col(_TS).desc(), F.col(_MARK).desc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+    wb = (
+        Window.partitionBy(*part_keys)
+        .orderBy(F.col(_TS).asc(), F.col(_MARK).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*part_keys)
+        .orderBy(F.col(_TS).desc(), F.col(_MARK).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     # ONE last() over a struct that is non-NULL for every right row — NOT a
     # per-column last(payload, ignorenulls): that would skip a genuine right
     # row whose payload value is NULL and resurrect an older non-NULL value,
@@ -207,6 +217,33 @@ def asof_join(
             *[F.col(f"__r_{c}").alias(c) for c in right_payload],
         ),
     )
+    if direction == "nearest":
+        tol_us = (
+            None
+            if tolerance_sec is None
+            else int(round(tolerance_sec * 1_000_000))
+        )
+        matched = u.select(
+            "*",
+            F.last(m_struct, ignorenulls=True).over(wb).alias("__mb"),
+            F.last(m_struct, ignorenulls=True).over(wf).alias("__mf"),
+        )
+        blag = ts_micros(_TS) - ts_micros("__mb.ts")
+        flag = ts_micros("__mf.ts") - ts_micros(_TS)
+        valid_b = F.col("__mb.ts").isNotNull()
+        valid_f = F.col("__mf.ts").isNotNull()
+        if tol_us is not None:
+            valid_b = valid_b & (blag <= F.lit(tol_us))
+            valid_f = valid_f & (flag <= F.lit(tol_us))
+        chosen = F.when(
+            valid_b & (~valid_f | (blag <= flag)), F.col("__mb")
+        ).when(valid_f, F.col("__mf"))
+        return matched.where(F.col(_MARK) == 0).select(
+            *left.columns,
+            chosen["ts"].alias("matched_ts"),
+            *[chosen[c].alias(c) for c in right_payload],
+        )
+    w = wb if direction == "backward" else wf
     matched = u.select(
         "*", F.last(m_struct, ignorenulls=True).over(w).alias("__m")
     ).select(

@@ -76,3 +76,34 @@ SELECT event_id, user_id, ts, value,
              WHERE r.user_id = m.user_id AND r.ts = m.cand) END AS ref_value
 FROM m
 """
+
+
+_SQL_ASOF_NEAREST = f"""
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, MAX(value) AS ref_value FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id, ts),
+     m AS (SELECT l.*,
+           (SELECT MAX(r.ts) FROM r
+            WHERE r.user_id = l.user_id AND r.ts <= l.ts) AS bc,
+           (SELECT MIN(r.ts) FROM r
+            WHERE r.user_id = l.user_id AND r.ts >= l.ts) AS fc FROM l),
+     v AS (SELECT *,
+           CASE WHEN bc IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(bc) <= {EV_TOL_US}
+                THEN bc END AS vb,
+           CASE WHEN fc IS NOT NULL
+                 AND epoch_us(fc) - epoch_us(ts) <= {EV_TOL_US}
+                THEN fc END AS vf
+           FROM m),
+     c AS (SELECT *,
+           CASE WHEN vb IS NOT NULL AND (vf IS NULL OR
+                  epoch_us(ts) - epoch_us(vb) <= epoch_us(vf) - epoch_us(ts))
+                THEN vb
+                WHEN vf IS NOT NULL THEN vf END AS mts
+           FROM v)
+SELECT event_id, user_id, ts, value, mts AS matched_ts,
+  (SELECT r.ref_value FROM r
+   WHERE r.user_id = c.user_id AND r.ts = c.mts) AS ref_value
+FROM c
+"""

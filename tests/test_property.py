@@ -257,3 +257,45 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(e, nodes).collect()
     }
     assert got == want
+
+
+@given(
+    lrows=rows_strategy,
+    rrows=rows_strategy,
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=200)),
+)
+@SETTINGS
+def test_asof_nearest_matches_pandas(spark, lrows, rrows, tol):
+    """direction='nearest' vs pandas merge_asof: closer side wins, exact
+    ties break backward, tolerance filters each side before the choice."""
+    lp, rp = _to_pdf(lrows), _to_pdf(rrows)
+    l = _to_sdf(spark, lp)
+    r = dedupe_right(
+        _to_sdf(spark, rp).select("k", "ts", F.col("v").alias("rv")),
+        on=["k"], ts="ts",
+    )
+    got = (
+        asof_join(
+            l, r, on=["k"], left_ts="ts",
+            tolerance_sec=float(tol) if tol is not None else None,
+            direction="nearest", strategy="window",
+        )
+        .select("rid", "matched_ts", "rv")
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    rd = (
+        rp.groupby(["k", "ts"], as_index=False)["v"].max().rename(columns={"v": "rv"})
+    )
+    want = pd.merge_asof(
+        lp.sort_values("ts", kind="mergesort"),
+        rd.sort_values("ts", kind="mergesort").rename(columns={"ts": "matched_ts"}),
+        left_on="ts", right_on="matched_ts", by="k", direction="nearest",
+        tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+    ).sort_values("rid").reset_index(drop=True)
+    gm = pd.to_datetime(got.matched_ts).to_numpy()
+    em = pd.to_datetime(want.matched_ts).to_numpy()
+    assert ((gm == em) | (pd.isna(gm) & pd.isna(em))).all()
+    gv, ev = got.rv.to_numpy(dtype=float), want.rv.to_numpy(dtype=float)
+    assert ((gv == ev) | (np.isnan(gv) & np.isnan(ev))).all()

@@ -10,8 +10,8 @@ import hashlib
 
 import __spark_entry__ as em
 
-PINNED_N = 82
-PINNED_SHA = "6f4f74f90835fcc469ceab5daf83248279bf5f2a47a8c630526b1eb2bc16e65d"
+PINNED_N = 83
+PINNED_SHA = "5ee0cb2a0086b2e9a59e9dd534abd388154626105588d8d3df52f8669abafb9f"
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",
     "delta9", "rolling_median", "savgol_smooth", "running_totals",
