@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from audio_feature_extraction_spark.operators.timeutil import ts_micros
+from audio_feature_extraction_spark.operators.timeutil import tol_us, ts_micros
 
 _MARK = "__is_ref"
 _TS = "__asof_ts"
@@ -93,6 +93,11 @@ def _union_frames(
 
 
 def _finish(matched: DataFrame, left_cols, left_ts, right_payload, tolerance_sec, direction):
+    # a NULL left-ts row has no position in time and never matches (pandas
+    # merge_asof parity; also the broadcast strategies' behavior). Without
+    # this, the forward window's desc sort (NULLS LAST) exposes EVERY right
+    # row to a NULL-ts left row.
+    ok = F.col("__m___r_ts").isNotNull() & F.col(_TS).isNotNull()
     if tolerance_sec is not None:
         # exact int64 microsecond arithmetic — no double-rounding at the
         # tolerance boundary
@@ -100,11 +105,7 @@ def _finish(matched: DataFrame, left_cols, left_ts, right_payload, tolerance_sec
             lag = ts_micros(_TS) - ts_micros("__m___r_ts")
         else:
             lag = ts_micros("__m___r_ts") - ts_micros(_TS)
-        ok = F.col("__m___r_ts").isNotNull() & (
-            lag <= F.lit(int(round(tolerance_sec * 1_000_000)))
-        )
-    else:
-        ok = F.col("__m___r_ts").isNotNull()
+        ok = ok & (lag <= F.lit(tol_us(tolerance_sec)))
     out = matched.where(F.col(_MARK) == 0).select(
         *left_cols,
         F.when(ok, F.col("__m___r_ts")).otherwise(F.lit(None)).alias("matched_ts"),
@@ -145,8 +146,10 @@ def asof_join(
     ``direction="nearest"`` (pandas ``merge_asof`` parity; window/salted
     strategies): the closer of the backward and forward candidates wins,
     exact-tie broken toward backward; ``tolerance_sec`` filters each
-    candidate BEFORE the choice (a backward row within tolerance beats a
-    nearer-but-out-of-tolerance forward row, matching pandas). Plan shape:
+    candidate BEFORE the choice (so a NEARER but out-of-tolerance backward
+    row loses to a farther in-tolerance forward row, matching pandas; the
+    converse case is vacuous — a forward row nearer than an in-tolerance
+    backward row is itself in tolerance). Plan shape:
     both directions ride the SAME hash partitioning — one exchange, two
     in-partition sorts.
     """
@@ -218,11 +221,7 @@ def asof_join(
         ),
     )
     if direction == "nearest":
-        tol_us = (
-            None
-            if tolerance_sec is None
-            else int(round(tolerance_sec * 1_000_000))
-        )
+        t_us = tol_us(tolerance_sec)
         matched = u.select(
             "*",
             F.last(m_struct, ignorenulls=True).over(wb).alias("__mb"),
@@ -230,11 +229,13 @@ def asof_join(
         )
         blag = ts_micros(_TS) - ts_micros("__mb.ts")
         flag = ts_micros("__mf.ts") - ts_micros(_TS)
-        valid_b = F.col("__mb.ts").isNotNull()
-        valid_f = F.col("__mf.ts").isNotNull()
-        if tol_us is not None:
-            valid_b = valid_b & (blag <= F.lit(tol_us))
-            valid_f = valid_f & (flag <= F.lit(tol_us))
+        # NULL left-ts rows never match (see _finish)
+        lts_ok = F.col(_TS).isNotNull()
+        valid_b = lts_ok & F.col("__mb.ts").isNotNull()
+        valid_f = lts_ok & F.col("__mf.ts").isNotNull()
+        if t_us is not None:
+            valid_b = valid_b & (blag <= F.lit(t_us))
+            valid_f = valid_f & (flag <= F.lit(t_us))
         chosen = F.when(
             valid_b & (~valid_f | (blag <= flag)), F.col("__mb")
         ).when(valid_f, F.col("__mf"))
@@ -304,7 +305,7 @@ def _broadcast_asof(
 
     m_ts = hit["ts"]
     if tolerance_sec is not None:
-        tol = F.lit(int(round(tolerance_sec * 1_000_000)))
+        tol = F.lit(tol_us(tolerance_sec))
         lag = (
             ts_micros(left_ts) - ts_micros(m_ts)
             if direction == "backward"
@@ -377,7 +378,7 @@ def _broadcast_arrow_asof(
             {c: g[c].to_numpy() for c in right_payload},
         )
     b = left.sparkSession.sparkContext.broadcast(groups)
-    tol_us = None if tolerance_sec is None else int(round(tolerance_sec * 1e6))
+    t_us = tol_us(tolerance_sec)
     backward = direction == "backward"
 
     out_schema = StructType(
@@ -415,9 +416,9 @@ def _broadcast_arrow_asof(
                         valid = pos < len(rus)
                     valid &= lvalid[idxs]
                     take = np.clip(pos, 0, len(rus) - 1)
-                    if tol_us is not None:
+                    if t_us is not None:
                         lag = (sub - rus[take]) if backward else (rus[take] - sub)
-                        valid &= lag <= tol_us
+                        valid &= lag <= t_us
                     sel = idxs[valid]
                     mts[sel] = rts[take[valid]]
                     for c in right_payload:

@@ -17,3 +17,11 @@ from pyspark.sql import functions as F
 def ts_micros(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+def tol_us(tolerance_sec: float | None) -> int | None:
+    """Seconds → exact int64 microseconds for tolerance comparisons (one
+    definition of the rounding rule, shared by every as-of strategy)."""
+    if tolerance_sec is None:
+        return None
+    return int(round(tolerance_sec * 1_000_000))

@@ -181,3 +181,29 @@ def test_dedupe_right(spark):
     )
     out = dedupe_right(r, on=["k"], ts="ts").toPandas()
     assert len(out) == 1 and out.rv.iloc[0] == 5.0
+
+
+def test_null_left_ts_never_matches_any_strategy(spark):
+    """A NULL left-ts row has no position in time: every strategy and
+    direction must return NULL matches (pandas merge_asof parity; review
+    finding r03 — the forward window's desc sort is NULLS LAST, which
+    otherwise exposed every right row to NULL-ts left rows)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("a", None, 1.0)], "k string, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:05", 1.0), ("a", "2024-01-01 00:00:15", 2.0)],
+        "k string, rts string, rv double",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "rv")
+    for strat in ["window", "salted", "range_merge", "broadcast",
+                  "broadcast_arrow"]:
+        for d in ["backward", "forward", "nearest"]:
+            if d == "nearest" and strat not in ("window", "salted"):
+                continue
+            row = asof_join(
+                left, right, on=["k"], left_ts="ts", right_ts="rts",
+                direction=d, strategy=strat,
+            ).collect()[0]
+            assert row["matched_ts"] is None and row["rv"] is None, (strat, d)
