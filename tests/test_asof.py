@@ -207,3 +207,22 @@ def test_null_left_ts_never_matches_any_strategy(spark):
                 direction=d, strategy=strat,
             ).collect()[0]
             assert row["matched_ts"] is None and row["rv"] is None, (strat, d)
+
+
+def test_asof_join_pandas_nearest(spark):
+    """The cogrouped pandas strategy passes direction through to
+    merge_asof, so 'nearest' works there too — pin it."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:10", 1.0)], "k string, ts string, v double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:05", 1.0), ("a", "2024-01-01 00:00:14", 2.0)],
+        "k string, rts string, rv double",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "rv")
+    row = asof_join_pandas(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        direction="nearest",
+    ).collect()[0]
+    assert row["rv"] == 2.0  # forward at distance 4 beats backward at 5
