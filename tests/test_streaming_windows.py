@@ -275,3 +275,48 @@ def test_interval_micros_covers_spark_units():
     assert _interval_micros("1 week") == 604_800_000_000
     assert _interval_micros("500 milliseconds") == 500_000
     assert _interval_micros("1 hour 30 minutes") == 5_400_000_000
+
+
+def test_stream_asof_enrich_matches_batch(spark, tiny_df, tmp_path):
+    """Streaming point-in-time enrichment drained with availableNow must
+    equal the batch broadcast_arrow as-of on the same files, row for row."""
+    from audio_feature_extraction_spark.operators.asof import (
+        asof_join,
+        dedupe_right,
+    )
+    from audio_feature_extraction_spark.streaming.asof import (
+        stream_asof_enrich,
+    )
+
+    stream, src = _src(spark, tiny_df, tmp_path)
+    batch = spark.read.parquet(src)
+    ref = dedupe_right(
+        batch.where(F.col("n_tok") % 3 == 0).select(
+            "doc_id", F.col("ts").alias("rts"), F.col("value").alias("rv")
+        ),
+        on=["doc_id"], ts="rts",
+    )
+    out = stream_asof_enrich(
+        stream, ref, on=["doc_id"], left_ts="ts", right_ts="rts",
+        tolerance_sec=3600.0,
+    )
+    got = (
+        _drain(out, str(tmp_path / "cka"), "senrich", "append")
+        .toPandas()
+        .sort_values(["doc_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        asof_join(
+            batch.select("doc_id", "ts", "n_tok", "value"), ref,
+            on=["doc_id"], left_ts="ts", right_ts="rts",
+            tolerance_sec=3600.0, strategy="broadcast_arrow",
+        )
+        .toPandas()
+        .sort_values(["doc_id", "ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "ts", "matched_ts", "rv"]],
+        want[["doc_id", "ts", "matched_ts", "rv"]],
+    )
