@@ -73,23 +73,22 @@ def connected_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("dst_lbl").alias("nbr_min"))
         )
+        # carry the OLD label through the update so convergence is a scalar
+        # agg over the checkpointed frame — not an extra label-frame join
+        # per round (which at 100 TB is a doc-id-sized shuffle per round)
         new = (
             lbl.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("lbl").alias("old"),
                 F.least(
                     F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.select("node", F.col("lbl").alias("new_lbl"))
-            .join(lbl, "node")
-            .where(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        lbl = new
+        changed = new.where(F.col("lbl") != F.col("old")).count()
+        lbl = new.select("node", "lbl")
         if changed == 0:
             break
     if changed != 0:
@@ -146,7 +145,7 @@ def connected_components_star(
 
     Each phase is one shuffle groupBy(min) + one join, on the canonical
     (hi > lo) edge set; convergence when the edge multiset fingerprint
-    (count + sum of xxhash64) is stable, at which point every edge points
+    (count + bit_xor of xxhash64) is stable, at which point every edge points
     a node directly at its component minimum. Node ids must be totally
     ordered (numeric or string). Same output contract as
     :func:`connected_components` — including the shared rule that edges

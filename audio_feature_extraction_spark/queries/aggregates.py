@@ -351,3 +351,77 @@ SELECT user_id,
   ROUND(AVG(value) FILTER (WHERE event_type = 'view'), 6) AS view
 FROM events GROUP BY user_id
 """
+
+
+def _q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of ``value`` over event time — the deg-1
+    polyfit analog of the reference's pitch-contour trend fit
+    (05_dtw_alignment_experiment/dtw_alignment.py:567), closing SURVEY
+    §2.8's math-family residual.
+
+    Exact cross-engine arithmetic (no covar_pop/regr_slope — their double
+    accumulation order differs between engines): x = whole seconds since
+    the user's FIRST event (exact int via integer div; non-negative, so
+    Spark `div` == DuckDB `//`), y = value quantized to 1e-6
+    (floor(v*1e6+0.5), the repo's deterministic round). Then
+
+        slope = (n*sum(xy) - sum(x)*sum(y)) / (n*sum(x^2) - sum(x)^2) / 1e6
+
+    with every sum exact — DECIMAL(38,0) on Spark, HUGEINT on DuckDB — so
+    both engines divide the IDENTICAL integers and the resulting double is
+    bit-equal with no final rounding step. Magnitude headroom: x ~ group
+    time-span seconds (≤3e7 for a year), y ≤ 1e9ish, so n*sum(xy) stays
+    under 1e38 even at n = 1e9 rows/group. Zero-variance or singleton
+    groups yield NULL. One shuffle on user_id (window min + agg share it)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # ts is TIMESTAMP_NTZ; the UTC-pinned session makes cast(timestamp) an
+    # identity reinterpretation (same pattern as operators/timeutil.ts_micros)
+    us = "unix_micros(cast(ts as timestamp))"
+    ev = ev.select(
+        "user_id",
+        F.expr(
+            f"({us} - min({us}) over (partition by user_id)) div 1000000"
+        ).alias("x"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).alias("y"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    a = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d19("x")).alias("sx"),
+        F.sum(d19("y")).alias("sy"),
+        F.sum(d19("x") * d19("x")).alias("sxx"),
+        F.sum(d19("x") * d19("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(20,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    return a.select(
+        "user_id",
+        "n",
+        F.when(
+            den != F.lit(0),
+            num.cast("double") / den.cast("double") / F.lit(1e6),
+        ).alias("slope"),
+    )
+
+
+_SQL_TREND_SLOPE = """
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+           // 1000000 AS x,
+         CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL),
+a AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM b GROUP BY 1)
+SELECT user_id, n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6
+       END AS slope
+FROM a
+"""

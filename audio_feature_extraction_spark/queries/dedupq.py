@@ -167,11 +167,14 @@ def _q_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_WINDOWED_DEDUP = """
 WITH b AS (
-  -- floor-division bucketing (like _SQL_TUMBLING_COUNTS): DuckDB % is a
-  -- sign-following remainder, which would disagree with Spark's pmod for
-  -- pre-1970 (negative epoch_us) timestamps
+  -- true floor-mod bucketing: DuckDB's % AND // both follow the dividend's
+  -- sign (truncate toward zero: -7 // 2 = -3, -7 % 2 = -1), so neither
+  -- matches Spark's pmod for pre-1970 (negative epoch_us) timestamps;
+  -- ((x % w) + w) % w is the portable non-negative remainder
   SELECT event_id, user_id, ts,
-         (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us
+         epoch_us(ts)
+           - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000
+           AS win_start_us
   FROM events),
 r AS (
   SELECT *, ROW_NUMBER() OVER (

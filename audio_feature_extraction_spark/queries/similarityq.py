@@ -39,33 +39,50 @@ SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
 FROM ranked WHERE rank <= 10
 """
 
+LSH_TABLES = 4  # OR-amplification width shared by the query and its oracle
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return _S.lsh_bucketed_topk(emb, queries, k=10)
+    return _S.lsh_bucketed_topk(emb, queries, k=10, n_tables=LSH_TABLES)
 
 def _sql_ann_lsh() -> str:
     """DuckDB twin of lsh_bucketed_topk: identical plan-time hyperplane
-    literals, identical sequential double math, multiprobe at hamming ≤ 1 —
-    so the approximate result is deterministic and exactly checkable."""
-    planes = _S._plane_literals(8, 64, 7)
-    bits = " + ".join(
-        "(CASE WHEN list_sum(list_transform(list_zip(e, ["
-        + ", ".join(repr(x) for x in plane)
-        + "]), x -> x[1] * x[2])) > 0 THEN "
-        + str(1 << p)
-        + " ELSE 0 END)"
-        for p, plane in enumerate(planes)
-    )
-    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(8)])
+    literals per table (seed 7 + 101·t), identical sequential double math,
+    multiprobe at hamming ≤ 1, candidate union DISTINCT'd across the
+    LSH_TABLES tables — so the approximate result is deterministic and
+    exactly checkable."""
+    cte, unions = [], []
+    for t in range(LSH_TABLES):
+        planes = _S._plane_literals(8, 64, 7 + 101 * t)
+        bits = " + ".join(
+            "(CASE WHEN list_sum(list_transform(list_zip(e, ["
+            + ", ".join(repr(x) for x in plane)
+            + "]), x -> x[1] * x[2])) > 0 THEN "
+            + str(1 << p)
+            + " ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        probes = ", ".join(
+            ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(8)]
+        )
+        cte.append(f"sig{t} AS (SELECT vec_id, e, {bits} AS bucket FROM v)")
+        cte.append(
+            f"q{t} AS (SELECT vec_id AS query_id, e AS qe, "
+            f"unnest([{probes}]) AS bucket FROM sig{t} WHERE vec_id < 10)"
+        )
+        unions.append(
+            f"SELECT q.query_id, s.vec_id AS neighbor_id, q.qe, s.e\n"
+            f"  FROM sig{t} s JOIN q{t} q ON s.bucket = q.bucket\n"
+            f"  WHERE s.vec_id != q.query_id"
+        )
+    ctes = ",\n".join(cte)
+    cand_union = "\n  UNION ALL\n".join(unions)
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-sig AS (SELECT vec_id, e, {bits} AS bucket FROM v),
-q AS (SELECT vec_id AS query_id, e AS qe, unnest([{probes}]) AS bucket
-      FROM sig WHERE vec_id < 10),
-cand AS (SELECT q.query_id, s.vec_id AS neighbor_id, q.qe, s.e
-         FROM sig s JOIN q ON s.bucket = q.bucket
-         WHERE s.vec_id != q.query_id),
+{ctes},
+cand AS (SELECT DISTINCT query_id, neighbor_id, qe, e
+         FROM ({cand_union})),
 scored AS (SELECT query_id, neighbor_id,
     list_sum(list_transform(list_zip(qe, e), x -> x[1] * x[2]))
       / (sqrt(list_sum(list_transform(qe, x -> x * x)))
@@ -252,4 +269,64 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, rank, cos
 FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the approximate ANN paths (LSH multiprobe, IVF
+    nprobe) against the brute-force cosine ground truth — VERDICT r03 #6:
+    the approximate indexes were proven to match *their own* oracles; this
+    reports how good they actually are, per query id.
+
+    All three inputs are themselves oracle-exact deterministic queries, so
+    the hit counts are exact integers and recall = n_hit / k is an exact
+    small-int division — identical doubles on both engines, no rounding.
+    Scale shape: ground truth and approximate top-k are tiny (q × k rows);
+    the joins here are broadcast-sized regardless of corpus size."""
+    gt = _q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    base = gt.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    parts = []
+    for method, qfn in (("ivf", _q_ivf_topk), ("lsh", _q_lsh_topk)):
+        hits = (
+            qfn(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .join(gt, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        parts.append(
+            base.join(hits, "query_id", "left").select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                (
+                    F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("k")
+                ).alias("recall_at_k"),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH gt AS ({_SQL_ANN_TOPK}),
+l AS ({_sql_ann_lsh()}),
+i AS ({_sql_ann_ivf()}),
+base AS (SELECT query_id, COUNT(*) AS k FROM gt GROUP BY 1),
+h AS (
+  SELECT 'lsh' AS method, l.query_id, COUNT(*) AS n_hit
+  FROM l JOIN gt ON l.query_id = gt.query_id
+              AND l.neighbor_id = gt.neighbor_id
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT 'ivf' AS method, i.query_id, COUNT(*) AS n_hit
+  FROM i JOIN gt ON i.query_id = gt.query_id
+              AND i.neighbor_id = gt.neighbor_id
+  GROUP BY 1, 2),
+g AS (SELECT method, query_id, k
+      FROM (VALUES ('lsh'), ('ivf')) m(method) CROSS JOIN base)
+SELECT g.method, g.query_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / g.k AS recall_at_k
+FROM g LEFT JOIN h ON g.method = h.method AND g.query_id = h.query_id
 """

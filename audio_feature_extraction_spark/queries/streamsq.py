@@ -43,7 +43,9 @@ def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 _SQL_TUMBLING_COUNTS = f"""
-SELECT make_timestamp((epoch_us(ts) // {TUMBLE_US}) * {TUMBLE_US}) AS win_start,
+SELECT make_timestamp(epoch_us(ts)
+         - ((epoch_us(ts) % {TUMBLE_US}) + {TUMBLE_US}) % {TUMBLE_US})
+         AS win_start,
        event_type, COUNT(*) AS n,
        FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
              * 1e6 + 0.5) / 1e6 AS avg_value
@@ -61,8 +63,9 @@ def _q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 _SQL_SLIDING_COUNTS = f"""
-SELECT make_timestamp((epoch_us(ts) // {SLIDE_US}) * {SLIDE_US}
-                      - j * {SLIDE_US}) AS win_start,
+SELECT make_timestamp(epoch_us(ts)
+         - ((epoch_us(ts) % {SLIDE_US}) + {SLIDE_US}) % {SLIDE_US}
+         - j * {SLIDE_US}) AS win_start,
        event_type, COUNT(*) AS n
 FROM events, unnest([0, 1]) AS t(j)
 GROUP BY 1, 2

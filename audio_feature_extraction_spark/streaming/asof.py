@@ -47,6 +47,13 @@ def stream_asof_enrich(
 
     assert stream.isStreaming, "stream must be a streaming DataFrame"
     assert not reference.isStreaming, "reference must be bounded (static)"
+    # the kernel treats anything != 'backward' as forward — reject e.g.
+    # 'nearest' (batch-only) loudly instead of silently computing forward
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"stream_asof_enrich supports direction 'backward'/'forward', "
+            f"got {direction!r} (use the batch asof_join for 'nearest')"
+        )
     right_ts = right_ts or left_ts
     right_payload = [
         c for c in reference.columns if c not in set(on) | {right_ts}

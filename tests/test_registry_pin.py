@@ -1,17 +1,29 @@
 """Pin the driver contract across refactors: queries() key ORDER (the
 driver's correctness gate hashes the first 50 entries, so order is part of
-the contract) and the exact oracle-SQL text per key. Any intentional
-change must update the pinned hash here — with a green
-tools/check_entry.py run to justify it."""
+the contract) and the exact oracle-SQL text per key.
+
+Two pins, per tools/rotate_registry.py (VERDICT r03 #7):
+- PINNED_CONTENT_SHA is order-INSENSITIVE (sorted by key) — a head-50
+  rotation must leave it unchanged; it moves only when a query/oracle is
+  added, removed, or edited (with a green tools/check_entry.py run to
+  justify it).
+- PINNED_SHA + PINNED_HEAD are order-sensitive — they move on every
+  rotation; `python tools/rotate_registry.py <must-gate names>` prints the
+  new values and asserts the names sit inside the head-50.
+"""
 
 from __future__ import annotations
 
-import hashlib
-
 import __spark_entry__ as em
+from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 83
-PINNED_SHA = "5ee0cb2a0086b2e9a59e9dd534abd388154626105588d8d3df52f8669abafb9f"
+PINNED_N = 85
+PINNED_CONTENT_SHA = (
+    "78637be7fbcde03bc44f3c92572ff9106f1b0009c2ca30860dd3de15c0dab682"
+)
+PINNED_SHA = (
+    "2b083b60bfcc7dda4e1849a729c558ba9d982d21e8779645aea5c7c612f5900c"
+)
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",
     "delta9", "rolling_median", "savgol_smooth", "running_totals",
@@ -19,28 +31,39 @@ PINNED_HEAD = [
     "equi_join_fanout", "anti_join", "dedup_minhash_lsh", "dedup_exact",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "media_features",
     "cube_report", "text_features", "dtw_band_cost", "dedup_clusters",
-    "band_join", "tumbling_counts", "sliding_counts", "token_slice",
-    "emb_neardup", "binpack_assign", "delta9_centered", "delta9_second",
-    "time_range_stats", "grouping_sets_report", "pivot_report",
-    "doc_repetition", "contamination", "stratified_sample",
-    "length_buckets", "token_vocab", "packed_rollup",
+    "band_join", "tumbling_counts", "token_slice", "emb_neardup",
+    "binpack_assign", "time_range_stats", "doc_repetition", "contamination",
+    "stratified_sample", "length_buckets", "token_vocab", "packed_rollup",
     "session_token_stats", "windowed_dedup", "json_props", "rank_stats",
-    "ann_topk_arrow", "packed_tokens", "region_part_revenue",
-    "capped_sessions", "eval_sample",
+    "ann_topk_arrow", "packed_tokens", "eval_sample",
+    # never driver-hashed before r04 — rotated in to earn green rows
+    "asof_nearest", "dedup_containment", "dedup_clusters_star",
+    "unigram_surprisal", "top_ngrams_by_source", "trend_slope", "ann_recall",
 ]
 
 
 def test_registry_contract_pinned():
     keys = list(em.queries())
     assert len(keys) == PINNED_N
-    assert keys[:50] == PINNED_HEAD
+    assert keys[:HEAD_N] == PINNED_HEAD
     osql = em.oracle_sql()
     assert set(osql) == set(keys)
+    assert order_sha() == PINNED_SHA
+    assert content_sha() == PINNED_CONTENT_SHA
+
+
+def test_content_sha_is_rotation_invariant():
+    """The content pin must not depend on dict order: recompute it over a
+    reversed view and require the same digest — the property that makes a
+    rotation diff reviewable (order pin moves, content pin doesn't)."""
+    import hashlib
+
+    osql = em.oracle_sql()
     h = hashlib.sha256()
-    for k in keys:
+    for k in sorted(list(em.queries())[::-1]):
         h.update(k.encode())
-        h.update(osql[k].encode())
-    assert h.hexdigest() == PINNED_SHA
+        h.update(osql.get(k, "").encode())
+    assert h.hexdigest() == PINNED_CONTENT_SHA
 
 
 def test_every_query_is_callable():
