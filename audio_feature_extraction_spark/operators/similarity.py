@@ -108,6 +108,38 @@ def _plane_literals(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     return [[float(x) for x in rng.normal(0.0, 1.0, dim)] for _ in range(n_planes)]
 
 
+def _arr_sql(xs: list[float]) -> str:
+    """Literal double array as a SQL snippet. repr() is the shortest
+    round-trip form, so the parsed double is bit-identical to the Python
+    float — the same value the DuckDB oracle embeds."""
+    return "array(" + ", ".join(repr(float(x)) + "D" for x in xs) + ")"
+
+
+def _dot_lit_sql(v_sql: str, xs: list[float]) -> str:
+    """v · literal-vector as a SQL string — the EXACT sequential-sum shape
+    of :func:`dot` (aggregate ∘ zip_with), just built as ONE parsed
+    expression instead of per-element py4j Column calls. Building a
+    64-element literal via 64 F.lit() round-trips costs ~3-7 ms each;
+    across 32 plane/centroid vectors that was ~7 s of pure Python-side
+    plan CONSTRUCTION per query (measured) — the string parse is ~50 ms.
+    Same IEEE left-to-right summation, so results are bit-identical."""
+    return (
+        f"aggregate(zip_with({v_sql}, {_arr_sql(xs)}, (x, y) -> x * y), "
+        "0D, (acc, x) -> acc + x)"
+    )
+
+
+def _bucket_sql(v_sql: str, n_planes: int, dim: int, seed: int) -> str:
+    """LSH signature as a SQL snippet: bit p = (v · plane_p) > 0."""
+    planes = _plane_literals(n_planes, dim, seed)
+    bits = [
+        f"(CASE WHEN {_dot_lit_sql(v_sql, plane)} > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(bits) + " AS INT)"
+
+
 def with_lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -117,14 +149,8 @@ def with_lsh_bucket(
     out: str = "bucket",
 ) -> DataFrame:
     """Random-hyperplane signature: bit p = (v · plane_p) > 0."""
-    planes = _plane_literals(n_planes, dim, seed)
-    v = _to_double(vec_col)
-    bucket = None
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(v, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn(out, bucket.cast("int"))
+    v_sql = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    return df.withColumn(out, F.expr(_bucket_sql(v_sql, n_planes, dim, seed)))
 
 
 def cosine_neardup_pairs(
@@ -173,15 +199,20 @@ def _centroid_literals(n_cells: int, dim: int, seed: int) -> list[list[float]]:
     return _plane_literals(n_cells, dim, seed)
 
 
-def _cell_dists(v: Column, centroids: list[list[float]]) -> list[Column]:
-    """Per-centroid squared-L2 rank score: -2·(v·c) + |c|² (the |v|² term is
-    constant per row and drops out of the argmin)."""
-    out = []
-    for c in centroids:
-        lit_c = F.array(*[F.lit(x) for x in c])
-        c2 = float(sum(x * x for x in c))
-        out.append(-2.0 * dot(v, lit_c) + F.lit(c2))
-    return out
+def _cell_structs_sql(v_sql: str, centroids: list[list[float]]) -> str:
+    """array<struct<d,c>> SQL snippet of per-centroid squared-L2 rank scores
+    -2·(v·c) + |c|² (the |v|² term is constant per row and drops out of the
+    argmin); struct field order (d first) drives the lexicographic
+    array_min/array_sort. SQL-string built for the same py4j-construction
+    reason as :func:`_dot_lit_sql`."""
+    items = []
+    for i, c in enumerate(centroids):
+        c2 = repr(float(sum(x * x for x in c))) + "D"
+        items.append(
+            f"named_struct('d', -2.0D * {_dot_lit_sql(v_sql, c)} + {c2}, "
+            f"'c', {i})"
+        )
+    return "array(" + ", ".join(items) + ")"
 
 
 def with_ivf_cell(
@@ -194,14 +225,8 @@ def with_ivf_cell(
 ) -> DataFrame:
     """IVF coarse assignment: nearest centroid id (ties -> lowest id)."""
     centroids = _centroid_literals(n_cells, dim, seed)
-    v = _to_double(vec_col)
-    arr = F.array(
-        *[
-            F.struct(d.alias("d"), F.lit(i).alias("c"))
-            for i, d in enumerate(_cell_dists(v, centroids))
-        ]
-    )
-    return df.withColumn(out, F.array_min(arr)["c"])
+    arr = _cell_structs_sql(f"CAST({vec_col} AS ARRAY<DOUBLE>)", centroids)
+    return df.withColumn(out, F.expr(f"array_min({arr}).c"))
 
 
 def ivf_topk(
@@ -229,13 +254,8 @@ def ivf_topk(
     )
     qv = queries.select(F.col(id_col).alias("query_id"), _to_double(vec_col)
                         .alias("_qv"))
-    arr = F.array(
-        *[
-            F.struct(d.alias("d"), F.lit(i).alias("c"))
-            for i, d in enumerate(_cell_dists(F.col("_qv"), centroids))
-        ]
-    )
-    probes = F.slice(F.array_sort(arr), 1, nprobe)
+    arr = _cell_structs_sql("_qv", centroids)
+    probes = F.expr(f"slice(array_sort({arr}), 1, {nprobe})")
     q = qv.select(
         "query_id", "_qv", F.explode(probes).alias("_p")
     ).select("query_id", "_qv", F.col("_p.c").alias("cell"))
@@ -280,33 +300,54 @@ def lsh_bucketed_topk(
     16%. For the high-cos near-duplicate regime LSH is actually deployed on
     (cos ≥ 0.9, per-plane split prob arccos(.9)/π ≈ 0.14) per-table recall
     is already 0.86^planes and tables multiply toward 1. The gated
-    `ann_recall` query reports the measured number instead of assuming it."""
-    corp = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_cv")
-    )
-    qry = queries.select(
-        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("_qv")
-    )
-    cand = None
-    for t in range(n_tables):
-        c = with_lsh_bucket(corp, "_cv", n_planes, dim, seed + 101 * t)
-        q = with_lsh_bucket(qry, "_qv", n_planes, dim, seed + 101 * t)
-        if multiprobe:
-            probes = F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
-                    for p in range(n_planes)
-                ],
+    `ann_recall` query reports the measured number instead of assuming it.
+
+    Plan shape: ALL tables' buckets are computed in ONE projection and
+    posexploded to (table_id, bucket) rows, so the corpus is scanned once
+    and there is exactly one join regardless of n_tables (a per-table
+    join-union loop costs a full scan+broadcast stage per table); cross-
+    table duplicate candidates are dedup'd BEFORE the (interpreted,
+    dim-length) cosine so each pair is scored once."""
+    def _tb(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        buckets = F.expr(
+            "array("
+            + ", ".join(
+                _bucket_sql(vc, n_planes, dim, seed + 101 * t)
+                for t in range(n_tables)
             )
-            q = q.select("query_id", "_qv", F.explode(probes).alias("bucket"))
-        ct = c.join(F.broadcast(q), "bucket").where(
-            F.col("neighbor_id") != F.col("query_id")
+            + ")"
         )
-        cand = ct if cand is None else cand.unionAll(ct)
+        return df.select(
+            idc, vc, F.posexplode(buckets).alias("table_id", "bucket")
+        )
+
+    corp = _tb(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_cv")
+        ),
+        "neighbor_id", "_cv",
+    )
+    q = _tb(
+        queries.select(
+            F.col(id_col).alias("query_id"), _to_double(vec_col).alias("_qv")
+        ),
+        "query_id", "_qv",
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+                for p in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "_qv", "table_id", F.explode(probes).alias("bucket")
+        )
+    cand = corp.join(F.broadcast(q), ["table_id", "bucket"]).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     if n_tables > 1:
-        # dedup candidates BEFORE the (interpreted, dim-length) cosine so a
-        # pair found by several tables is scored once, not n_tables times
         cand = cand.select("query_id", "neighbor_id", "_qv", "_cv").distinct()
     scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
     # round(cos, 6) + id ranking — same rationale as ivf_topk / brute_force

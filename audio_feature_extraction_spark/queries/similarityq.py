@@ -281,9 +281,13 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three inputs are themselves oracle-exact deterministic queries, so
     the hit counts are exact integers and recall = n_hit / k is an exact
     small-int division — identical doubles on both engines, no rounding.
-    Scale shape: ground truth and approximate top-k are tiny (q × k rows);
-    the joins here are broadcast-sized regardless of corpus size."""
-    gt = _q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    Ground truth runs through the Arrow/BLAS brute-force path — proven
+    row-identical to ann_cosine_topk (same round(cos,6)+id ranking, both
+    driver-green against the same SQL shape) and ~4x faster, since the
+    interpreted zip_with cosine is the cost center here. Scale shape:
+    ground truth and approximate top-k are tiny (q × k rows); the joins
+    here are broadcast-sized regardless of corpus size."""
+    gt = _q_ann_topk_arrow(spark, sf_dir).select("query_id", "neighbor_id")
     base = gt.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
     parts = []
     for method, qfn in (("ivf", _q_ivf_topk), ("lsh", _q_lsh_topk)):

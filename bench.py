@@ -21,6 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from audio_feature_extraction_spark.session import get_spark  # noqa: E402
+from tools.hostcond import HostWindow  # noqa: E402
+
+# a pass whose measured steal% exceeds this is suspect: up to MAX_PASSES
+# total passes run (min-of-all kept per query) and every pass's host
+# condition is published either way — the reader sees exactly how noisy
+# the window was instead of a narrative about it
+STEAL_THRESHOLD_PCT = 5.0
+MAX_PASSES = 3
 
 HEADLINE = [
     "pricing_summary",
@@ -56,6 +64,9 @@ HEADLINE = [
     "dedup_containment",
     "unigram_surprisal",
     "top_ngrams_by_source",
+    # new in r04
+    "trend_slope",
+    "ann_recall",
 ]
 
 
@@ -88,22 +99,35 @@ def main() -> None:
 
     times: dict[str, float] = {}
     times_max: dict[str, float] = {}
-    for name in HEADLINE:
-        # min of 2 back-to-back runs per query: the sandbox host shows bursty
-        # CPU steal (~10% sustained, multi-second spikes) that lands ~20 s
-        # stalls on whichever query is running; the min is the engine's time,
-        # the max is the host's. Same plan both runs — nothing is cached
-        # between them beyond the JVM/codegen warmup any prod job has.
-        # BOTH are recorded (queries / queries_max) so a later round can
-        # separate plan changes from host noise without re-deriving this.
-        best, worst = float("inf"), 0.0
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best, worst = min(best, dt), max(worst, dt)
-        times[name] = round(best, 3)
-        times_max[name] = round(worst, 3)
+    host_passes: list[dict] = []
+    for pass_no in range(MAX_PASSES):
+        hw = HostWindow().start()
+        t_pass = time.time()
+        for name in HEADLINE:
+            # min of 2 back-to-back runs per query: the sandbox host shows
+            # bursty CPU steal (~10% sustained, multi-second spikes) that
+            # lands ~20 s stalls on whichever query is running; the min is
+            # the engine's time, the max is the host's. Same plan both runs
+            # — nothing is cached between them beyond the JVM/codegen warmup
+            # any prod job has. BOTH are recorded (queries / queries_max).
+            best, worst = float("inf"), 0.0
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                best, worst = min(best, dt), max(worst, dt)
+            times[name] = round(min(best, times.get(name, best)), 3)
+            times_max[name] = round(max(worst, times_max.get(name, worst)), 3)
+        cond = hw.stop()
+        cond["pass_sec"] = round(time.time() - t_pass, 3)
+        host_passes.append(cond)
+        # retry the whole headline loop only when the measured window was
+        # noisy — the published result is then min across passes, with every
+        # pass's host condition in the JSON for the reader to audit
+        if cond["steal_pct"] <= STEAL_THRESHOLD_PCT:
+            break
 
     # flagship throughput: tokens emitted per second through the full
     # point-in-time pipeline (the BASELINE.json headline metric).
@@ -115,9 +139,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     out = entry_mod._pipeline(spark, sf_dir)
+    hw_pipe = HostWindow().start()
     t0 = time.time()
     out.write.format("noop").mode("overwrite").save()
     pipe_sec = time.time() - t0
+    pipe_cond = hw_pipe.stop()
     total_tokens = out.agg(F.sum(F.size("tokens"))).collect()[0][0] or 0
     tokens_per_sec = round(total_tokens / pipe_sec, 1) if pipe_sec > 0 else 0.0
 
@@ -135,7 +161,12 @@ def main() -> None:
                 "tokens_per_sec": tokens_per_sec,
                 "pipeline_tokens": int(total_tokens),
                 "pipeline_sec": round(pipe_sec, 3),
-                "timing": "min_of_2",
+                "timing": f"min_of_2_x{len(host_passes)}_passes",
+                "host": {
+                    "steal_threshold_pct": STEAL_THRESHOLD_PCT,
+                    "passes": host_passes,
+                    "pipeline": pipe_cond,
+                },
             }
         )
     )
