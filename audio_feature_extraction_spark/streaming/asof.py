@@ -25,6 +25,8 @@ row.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 
 
@@ -62,3 +64,67 @@ def stream_asof_enrich(
         stream, reference, on, left_ts, right_ts, right_payload,
         tolerance_sec, direction,
     )
+
+
+def stream_asof_enrich_refreshing(
+    load_reference: Callable[[], DataFrame],
+    write: Callable[[DataFrame, int], None],
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    tolerance_sec: float | None = None,
+    direction: str = "backward",
+    refresh_every: int = 1,
+) -> Callable[[DataFrame, int], None]:
+    """Snapshot-REFRESHING form of :func:`stream_asof_enrich` (VERDICT r03
+    #5): the pinned-snapshot form collects the reference dimension once at
+    plan build, so a long-running query serves stale features forever.
+    This returns a ``foreachBatch`` function — attach with
+    ``stream.writeStream.foreachBatch(fb)`` — that calls
+    ``load_reference()`` every ``refresh_every`` micro-batches (1 = every
+    trigger, the standard slowly-changing-dimension answer) and runs the
+    SAME broadcast-Arrow as-of kernel over each micro-batch, then hands the
+    enriched frame to ``write(df, epoch_id)``.
+
+    Inside foreachBatch the micro-batch is a plain bounded DataFrame, so
+    the batch kernel applies unchanged — identical semantics to the pinned
+    form on a static dimension (parity-tested), fresh-snapshot pickup on a
+    changing one (divergence-tested). Scale shape per trigger: one guarded
+    collect of the (bounded, by contract) dimension + vectorized
+    searchsorted per batch; the stream side is never shuffled.
+
+    ``load_reference`` must return a BOUNDED DataFrame each call; the
+    refresh cadence trades dimension-read cost against staleness — at
+    refresh_every=N, features can be up to N triggers stale (the pinned
+    form is the limit N=inf)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"stream_asof_enrich_refreshing supports direction "
+            f"'backward'/'forward', got {direction!r}"
+        )
+    if refresh_every < 1:
+        raise ValueError(f"refresh_every must be >= 1, got {refresh_every}")
+    from audio_feature_extraction_spark.operators.asof import (
+        _broadcast_arrow_asof,
+    )
+
+    state: dict = {"ref": None, "calls": 0}
+
+    def _fb(batch_df: DataFrame, epoch_id: int) -> None:
+        if state["ref"] is None or state["calls"] % refresh_every == 0:
+            ref = load_reference()
+            assert not ref.isStreaming, "load_reference must return a bounded DataFrame"
+            state["ref"] = ref
+        state["calls"] += 1
+        ref = state["ref"]
+        rts = right_ts or left_ts
+        payload = [c for c in ref.columns if c not in set(on) | {rts}]
+        write(
+            _broadcast_arrow_asof(
+                batch_df, ref, on, left_ts, rts, payload,
+                tolerance_sec, direction,
+            ),
+            epoch_id,
+        )
+
+    return _fb

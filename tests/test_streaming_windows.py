@@ -320,3 +320,133 @@ def test_stream_asof_enrich_matches_batch(spark, tiny_df, tmp_path):
         got[["doc_id", "ts", "matched_ts", "rv"]],
         want[["doc_id", "ts", "matched_ts", "rv"]],
     )
+
+
+def test_stream_asof_refreshing_parity_static_dim(spark, tiny_df, tmp_path):
+    """On a STATIC dimension the refreshing foreachBatch form must produce
+    exactly the rows of the pinned-snapshot plan / batch broadcast_arrow
+    as-of (drained availableNow, all micro-batches concatenated)."""
+    from audio_feature_extraction_spark.operators.asof import (
+        asof_join,
+        dedupe_right,
+    )
+    from audio_feature_extraction_spark.streaming.asof import (
+        stream_asof_enrich_refreshing,
+    )
+
+    stream, src = _src(spark, tiny_df, tmp_path)
+    batch = spark.read.parquet(src)
+    ref = dedupe_right(
+        batch.where(F.col("n_tok") % 3 == 0).select(
+            "doc_id", F.col("ts").alias("rts"), F.col("value").alias("rv")
+        ),
+        on=["doc_id"], ts="rts",
+    )
+    got_parts = []
+    fb = stream_asof_enrich_refreshing(
+        load_reference=lambda: ref,
+        write=lambda df, epoch: got_parts.append(df.toPandas()),
+        on=["doc_id"], left_ts="ts", right_ts="rts", tolerance_sec=3600.0,
+    )
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckr1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        pd.concat(got_parts, ignore_index=True)
+        .sort_values(["doc_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        asof_join(
+            batch.select("doc_id", "ts", "n_tok", "value"), ref,
+            on=["doc_id"], left_ts="ts", right_ts="rts",
+            tolerance_sec=3600.0, strategy="broadcast_arrow",
+        )
+        .toPandas()
+        .sort_values(["doc_id", "ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "ts", "matched_ts", "rv"]],
+        want[["doc_id", "ts", "matched_ts", "rv"]],
+    )
+
+
+def test_stream_asof_refreshing_picks_up_new_snapshot(spark, tiny_df, tmp_path):
+    """Mid-stream freshness: with maxFilesPerTrigger=1 (one micro-batch per
+    source file) and a loader whose snapshot carries a version counter,
+    every micro-batch must be enriched with a NEWER dimension version —
+    the pinned-snapshot form by construction serves version 1 forever."""
+    from audio_feature_extraction_spark.streaming.asof import (
+        stream_asof_enrich_refreshing,
+    )
+
+    seq, _ = tiny_df
+    src = str(tmp_path / "srcmulti")
+    # several part files -> several micro-batches
+    seq.select("doc_id", "ts", "n_tok", "value").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    versions = {"n": 0}
+
+    def load_reference():
+        versions["n"] += 1
+        # dim rows valid from epoch 0 so every event matches; payload = the
+        # snapshot version at load time
+        return (
+            spark.read.parquet(src)
+            .select("doc_id").distinct()
+            .select(
+                "doc_id",
+                F.timestamp_seconds(F.lit(0)).alias("rts"),
+                F.lit(versions["n"]).alias("dim_version"),
+            )
+        )
+
+    per_epoch: dict[int, set] = {}
+    fb = stream_asof_enrich_refreshing(
+        load_reference=load_reference,
+        write=lambda df, epoch: per_epoch.setdefault(epoch, set()).update(
+            df.toPandas().dim_version.dropna().astype(int).tolist()
+        ),
+        on=["doc_id"], left_ts="ts", right_ts="rts",
+    )
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckr2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(per_epoch) >= 2, "need multiple micro-batches to show refresh"
+    # each micro-batch saw exactly one dim version, and versions advance
+    seen = []
+    for epoch in sorted(per_epoch):
+        vs = per_epoch[epoch]
+        assert len(vs) == 1, (epoch, vs)
+        seen.append(vs.pop())
+    assert seen == sorted(seen) and len(set(seen)) == len(seen), seen
+    assert versions["n"] == len(per_epoch)
+
+
+def test_stream_asof_refreshing_rejects_bad_args(spark):
+    from audio_feature_extraction_spark.streaming.asof import (
+        stream_asof_enrich_refreshing,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="nearest"):
+        stream_asof_enrich_refreshing(
+            lambda: None, lambda df, e: None, on=["k"], direction="nearest"
+        )
+    with pytest.raises(ValueError, match="refresh_every"):
+        stream_asof_enrich_refreshing(
+            lambda: None, lambda df, e: None, on=["k"], refresh_every=0
+        )
