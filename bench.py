@@ -26,8 +26,10 @@ from tools.hostcond import HostWindow  # noqa: E402
 # a pass whose measured steal% exceeds this is suspect: up to MAX_PASSES
 # total passes run (min-of-all kept per query) and every pass's host
 # condition is published either way — the reader sees exactly how noisy
-# the window was instead of a narrative about it
-STEAL_THRESHOLD_PCT = 5.0
+# the window was instead of a narrative about it. Threshold calibrated
+# r04: a 4.8%-steal window measured the identical plans 65% slower than a
+# 0.6%-steal window minutes later, so 5% was far too lax.
+STEAL_THRESHOLD_PCT = 2.0
 MAX_PASSES = 3
 
 HEADLINE = [

@@ -29,6 +29,28 @@ def load1() -> float:
         return float(f.read().split()[0])
 
 
+def cpu_score(n: int = 2_000_000, reps: int = 5) -> float:
+    """Single-thread CPU calibration in Mops/s (best of ``reps`` fixed
+    numpy float64 multiply-add passes). Steal% only sees the hypervisor
+    taking our vCPU; this also catches host FREQUENCY drift (the sandbox
+    documents ~2x minute-to-minute CPU-speed swings), so two rounds'
+    timings can be normalized instead of argued about. Best-of-reps
+    because the score itself can eat a steal spike."""
+    import time
+
+    import numpy as np
+
+    x = np.arange(n, dtype=np.float64)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        y = x * 1.0000001 + 0.5
+        s = float(y.sum())
+        best = min(best, time.perf_counter() - t0)
+    assert s > 0
+    return round(2.0 * n / best / 1e6, 1)
+
+
 class HostWindow:
     """Start/stop wrapper: percentage of host CPU time stolen (hypervisor
     ran someone else) and idle across the measured window."""
@@ -36,6 +58,7 @@ class HostWindow:
     def start(self) -> "HostWindow":
         self._t0, self._i0, self._s0 = cpu_sample()
         self.load1_start = load1()
+        self.cpu_score_start = cpu_score()
         return self
 
     def stop(self) -> dict:
@@ -46,4 +69,6 @@ class HostWindow:
             "idle_pct": round(100.0 * (i1 - self._i0) / dt, 2),
             "load1_start": self.load1_start,
             "load1_end": load1(),
+            "cpu_score_start": self.cpu_score_start,
+            "cpu_score_end": cpu_score(),
         }
