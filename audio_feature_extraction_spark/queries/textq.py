@@ -340,3 +340,175 @@ r AS (SELECT *, ROW_NUMBER() OVER (
         PARTITION BY source ORDER BY df_count DESC, s) AS rk FROM c)
 SELECT source, s AS ngram, df_count, rk FROM r WHERE rk <= 5
 """
+
+
+# BM25 parameters (Robertson/Lucene defaults) and the plan-time query-term
+# literals — both engines embed the SAME constants so every intermediate
+# (tf, df, dl, N exact ints; avgdl = exact-int division) is identical and
+# the final double math is the same IEEE expression on both sides.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ["spark", "join", "stream"]
+
+
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 relevance against a fixed query-term set — the
+    ranked-retrieval primitive of a curation/eval pipeline (the retrieval
+    analog of the reference's evaluator scoring, evaluation/evaluator.py:
+    16-55). Lucene-shaped idf = ln((N - df + .5)/(df + .5) + 1), so scores
+    stay positive even for terms in most documents.
+
+    Scale shape: ONE word explode + one doc_id agg computes dl and every
+    per-term tf as conditional sums (no per-term scan); df/N/avgdl ride
+    along as a broadcast single-row frame (same pattern as
+    unigram_surprisal — never a driver constant, the query stays one lazy
+    DAG). Per-term contributions are summed in FIXED term order so the
+    double summation is engine-identical; final score floor-rounded at
+    1e-6 (the repo's deterministic round)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    per_doc = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("w") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    totals = w.agg(
+        F.count_distinct("doc_id").cast("double").alias("n_docs"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.count_distinct("doc_id").cast("double")
+        ).alias("avgdl"),
+        *[
+            F.count_distinct(F.when(F.col("w") == t, F.col("doc_id")))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(totals))
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        term = idf * (
+            tf
+            * F.lit(BM25_K1 + 1.0)
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        )
+        score = term if score is None else score + term
+    return scored.select(
+        "doc_id",
+        "dl",
+        (F.floor(score * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("bm25"),
+    )
+
+
+def _sql_bm25() -> str:
+    tf_cols = ",\n       ".join(
+        f"SUM(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n       ".join(
+        f"COUNT(DISTINCT CASE WHEN w = '{t}' THEN doc_id END)::DOUBLE"
+        f" AS df_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    terms = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (CAST(tf_{i} AS DOUBLE) * {BM25_K1 + 1.0!r}"
+        f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1!r}"
+        f" * ({1.0 - BM25_B!r} + {BM25_B!r} * dl / avgdl))))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS dl,
+       {tf_cols}
+  FROM w GROUP BY doc_id),
+totals AS (
+  SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n_docs,
+       COUNT(*)::DOUBLE / COUNT(DISTINCT doc_id)::DOUBLE AS avgdl,
+       {df_cols}
+  FROM w)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       FLOOR(({terms}) * 1e6 + 0.5) / 1e6 AS bm25
+FROM per_doc CROSS JOIN totals
+"""
+
+
+def _q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf (idf = ln(N/df),
+    rank on floor-rounded score then term asc) — the doc-level keyword
+    profile of a curation pass. Same WindowGroupLimit shape as
+    top_ngrams_by_source: Spark 4 pre-prunes the rank<=3 window map-side
+    before the per-doc exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    tf = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = w.groupBy("w").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    n = w.agg(F.count_distinct("doc_id").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            (
+                F.floor(
+                    F.col("tf")
+                    * F.log(F.col("n_docs") / F.col("df"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("tfidf"),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "rank", "tfidf")
+    )
+
+
+_SQL_TFIDF_TOPTERMS = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT w, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM w GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n_docs FROM w),
+scored AS (
+  SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf,
+         FLOOR(tf * ln(n_docs / df) * 1e6 + 0.5) / 1e6 AS tfidf
+  FROM tf JOIN df USING (w) CROSS JOIN n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, rank, tfidf FROM ranked WHERE rank <= 3
+"""

@@ -69,6 +69,8 @@ HEADLINE = [
     # new in r04
     "trend_slope",
     "ann_recall",
+    "bm25_scores",
+    "tfidf_topterms",
 ]
 
 

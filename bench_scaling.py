@@ -124,17 +124,22 @@ def run_level(cores: int) -> dict:
     ref = spark.read.parquet(os.path.join(DATA_DIR, "reference.parquet"))
     total_tokens = int(seq.agg(F.sum("n_tok")).collect()[0][0])  # also warms scan
 
-    times = []
+    from tools.hostcond import HostWindow
+
+    times, conds = [], []
     for _ in range(REPEATS):
+        hw = HostWindow().start()
         t0 = time.time()
         feature_pipeline(seq, ref).write.format("noop").mode("overwrite").save()
         times.append(round(time.time() - t0, 3))
+        conds.append(hw.stop())
         # force ContextCleaner to drop the finished run's shuffle files NOW —
         # on tmpfs they are RAM, and letting them accumulate across reps
         # creates memory pressure that poisons subsequent timings
         spark.sparkContext._jvm.System.gc()
     spark.stop()
-    return {"cores": cores, "times": times, "tokens": total_tokens}
+    return {"cores": cores, "times": times, "tokens": total_tokens,
+            "conds": conds}
 
 
 def _median(xs: list[float]) -> float:
@@ -174,11 +179,13 @@ def orchestrate() -> None:
     # ~2x minute-to-minute, so alternating levels exposes them all to the same
     # drift windows; per level we report BOTH min (cleanest run) and median
     all_times: dict[int, list[float]] = {c: [] for c in levels}
+    all_conds: dict[int, list[dict]] = {c: [] for c in levels}
     tokens = 0
     for _ in range(ROUNDS):
         for cores in levels:
             r = _run_subprocess_level(cores)
             all_times[cores].extend(r["times"])
+            all_conds[cores].extend(r.get("conds", []))
             tokens = r["tokens"]
 
     results = {}
@@ -243,7 +250,12 @@ def orchestrate() -> None:
         for p in pair_rows
     )
     times_dump = "\n".join(
-        f"- local[{c}] times (s): {all_times[c]}" for c in levels
+        f"- local[{c}] times (s): {all_times[c]}\n"
+        f"  - per-rep host steal%: "
+        f"{[x['steal_pct'] for x in all_conds[c]]}\n"
+        f"  - per-rep cpu calibration (Mops/s, start/end): "
+        f"{[(x['cpu_score_start'], x['cpu_score_end']) for x in all_conds[c]]}"
+        for c in levels
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
@@ -261,7 +273,10 @@ shuffle-disk bandwidth scales with executor count, the sandbox's one shared
 virtual disk does not, so tmpfs is the per-executor-disk analog. This
 sandbox VM's CPU speed drifts ~2x minute-to-minute, so all levels run
 interleaved across {ROUNDS} rounds x {REPEATS} reps; both the best run
-(min) and the median are reported.
+(min) and the median are reported. Every rep also records the host's
+steal% and a single-thread CPU calibration score (tools/hostcond.py) —
+see the raw dump at the bottom — so drift is evidenced per rep, not
+asserted.
 
 | parallelism | best wall (s) | median wall (s) | best tok/s | median tok/s |
 |---|---|---|---|---|

@@ -165,3 +165,23 @@ def test_unigram_surprisal_broadcast_total(spark):
     plan = _plan(em.queries()["unigram_surprisal"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_broadcast_totals_and_groupsize(spark):
+    """bm25_scores: the corpus-stats single-row frame rides a broadcast
+    nested loop (no cartesian shuffle), per-term tf comes out of ONE
+    doc_id aggregation (no per-term scans — exactly one scan of
+    documents on the per_doc side plus one on the totals side)."""
+    plan = _plan(em.queries()["bm25_scores"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_topterms_mapside_group_limit(spark):
+    """tfidf_topterms: the rank<=3 per-doc window must compile to the
+    map-side WindowGroupLimit prune, like top_ngrams_by_source."""
+    plan = _plan(em.queries()["tfidf_topterms"](spark, SF_DIR))
+    assert re.search(
+        r"WindowGroupLimit \[doc_id#\d+L?\][^\n]*Partial", plan
+    ), plan
+    assert "CartesianProduct" not in plan, plan

@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 85
+PINNED_N = 87
 PINNED_CONTENT_SHA = (
-    "78637be7fbcde03bc44f3c92572ff9106f1b0009c2ca30860dd3de15c0dab682"
+    "f05d652e3b944e40a8b41dc576c331ee21caad4f6eac67a0ccb94c689042b6ff"
 )
 PINNED_SHA = (
-    "2b083b60bfcc7dda4e1849a729c558ba9d982d21e8779645aea5c7c612f5900c"
+    "8be6645e8dfc8f7936b0cba7ce567feaf88cf04918f531cb0bfb231e1219c7db"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",
