@@ -220,15 +220,18 @@ def minhash_signatures(
     sh = shingles(df, id_col, text_col, n, distinct=False).withColumn(
         "_h0", F.xxhash64(F.col("shingle"))
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(seed + p), F.col("_h0"))).alias(f"_m{p}")
-        for p in range(num_perm)
-    ]
-    agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("sig"),
+    # the whole signature is ONE parsed aggregate expression — num_perm
+    # separate F.min(F.xxhash64(F.lit...)) Columns cost ~5 py4j round-trips
+    # each (~3.5 ms/call in this sandbox), which was several seconds of
+    # Python-side plan CONSTRUCTION per query (same finding as
+    # similarity._dot_lit_sql); semantics identical (integer literals parse
+    # as INT, matching F.lit)
+    sig_expr = (
+        "array("
+        + ", ".join(f"min(xxhash64({seed + p}, _h0))" for p in range(num_perm))
+        + ")"
     )
+    return sh.groupBy(id_col).agg(F.expr(sig_expr).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -246,15 +249,14 @@ def minhash_lsh_pairs(
     j=0.8 with 32x3 bands is 1-(1-0.8³)^32 ≈ 1-2e-10)."""
     num_perm = bands * rows_per_band
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
-                .alias("bh"),
-            )
+    band_cols = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {b}, 'bh', "
+            f"xxhash64(slice(sig, {b * rows_per_band + 1}, {rows_per_band})))"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = sig.select(F.col(id_col), F.explode(band_cols).alias("b")).select(
         F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
@@ -302,20 +304,20 @@ def simhash(
     w = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
     h = portable_word_hash(F.col("w"))
     w = w.withColumn("h", h)
-    sums = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{i}")
-        for i in range(bits)
-    ]
-    agg = w.groupBy(id_col).agg(*sums)
-    sig = None
-    for i in range(bits):
-        term = F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # whole signature as ONE parsed aggregate expression (bit sums nested
+    # inside the sign CASEs) — the per-bit Column construction was hundreds
+    # of py4j round-trips of pure plan-build time; semantics identical
+    sig_expr = (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) > 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(bits)
         )
-        sig = term if sig is None else sig + term
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+        + " AS BIGINT)"
+    )
+    return w.groupBy(id_col).agg(F.expr(sig_expr).alias("simhash"))
 
 
 def simhash_pairs(
