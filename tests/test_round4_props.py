@@ -1,0 +1,187 @@
+"""Independent-implementation checks for the round-4 queries.
+
+The DuckDB oracles prove cross-engine parity, but a bug present in BOTH
+sides of an identical formula would pass them. These tests re-derive the
+same answers through UNRELATED implementations (numpy polyfit, a pandas
+BM25, set-containment reasoning for LSH) so formula-level mistakes can't
+hide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, tmp_path, pdf):
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_trend_slope_matches_numpy_polyfit(spark, tmp_path):
+    """Engine slope == np.polyfit(deg=1) on the same quantized series:
+    x = whole seconds since the user's first event, y = value rounded at
+    1e-6. polyfit solves the identical least-squares problem via a
+    completely different algorithm (SVD), so agreement to 1e-9 relative
+    validates the closed-form integer-sum formula itself."""
+    from audio_feature_extraction_spark.queries.aggregates import (
+        _q_trend_slope,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for uid in range(6):
+        n = int(rng.integers(2, 40))
+        base = pd.Timestamp("2024-03-01") + pd.Timedelta(seconds=int(uid))
+        ts = base + pd.to_timedelta(
+            np.sort(rng.integers(0, 10_000_000, n)), unit="s"
+        ) + pd.to_timedelta(rng.integers(0, 1_000_000, n), unit="us")
+        v = rng.normal(50, 20, n) + 0.001 * np.arange(n)
+        for t, x in zip(ts, v):
+            rows.append((len(rows), t, uid, "a", float(x), "{}"))
+    # a constant-time user (all events in the same second): zero variance
+    t0 = pd.Timestamp("2024-03-02 12:00:00")
+    for i in range(3):
+        rows.append((len(rows), t0 + pd.Timedelta(microseconds=i), 99, "a", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = _write_events(spark, tmp_path, pdf)
+    got = _q_trend_slope(spark, d).toPandas().set_index("user_id")
+
+    for uid, g in pdf.groupby("user_id"):
+        us = g.ts.astype("int64") // 1000  # ns -> us
+        x = ((us - us.min()) // 1_000_000).to_numpy(dtype=np.float64)
+        y = np.floor(g.value.to_numpy() * 1e6 + 0.5) / 1e6
+        if np.ptp(x) == 0:
+            assert pd.isna(got.loc[uid, "slope"]), uid
+            continue
+        want = np.polyfit(x, y, 1)[0]
+        have = got.loc[uid, "slope"]
+        assert np.isclose(have, want, rtol=1e-9, atol=1e-15), (uid, have, want)
+        assert got.loc[uid, "n"] == len(g)
+
+
+def test_bm25_matches_pandas_reference(spark, tmp_path):
+    """Engine BM25 == a from-scratch pandas implementation of the Lucene
+    formula on a small synthetic corpus (atol bounded by the engine's
+    1e-6 floor-round)."""
+    from audio_feature_extraction_spark.queries.textq import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        _q_bm25_scores,
+    )
+
+    texts = [
+        "spark join stream spark spark",
+        "join join table scan",
+        "stream stream stream spark filter",
+        "table scan filter agg window",
+        "spark",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = (
+        _q_bm25_scores(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    docs = [t.split(" ") for t in texts]
+    N = len(docs)
+    avgdl = sum(len(d) for d in docs) / N
+    for i, words in enumerate(docs):
+        score = 0.0
+        for t in BM25_TERMS:
+            tf = words.count(t)
+            df = sum(1 for d in docs if t in d)
+            idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+            score += idf * (
+                tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(words) / avgdl))
+            )
+        assert got.loc[i, "dl"] == len(words)
+        assert abs(got.loc[i, "bm25"] - score) <= 1e-6 + 1e-12, (
+            i, got.loc[i, "bm25"], score,
+        )
+
+
+def test_tfidf_topterms_against_pandas(spark, tmp_path):
+    """Top-term SELECTION (not just scores) must match an independent
+    pandas tf-idf ranking with the same tiebreak."""
+    from audio_feature_extraction_spark.queries.textq import _q_tfidf_topterms
+
+    texts = [
+        "apple apple banana cherry",
+        "banana banana banana date",
+        "cherry date egg egg egg apple",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = _q_tfidf_topterms(spark, str(tmp_path)).toPandas()
+
+    docs = [t.split(" ") for t in texts]
+    N = len(docs)
+    for i, words in enumerate(docs):
+        scores = {}
+        for t in set(words):
+            df = sum(1 for d in docs if t in d)
+            scores[t] = np.floor(
+                words.count(t) * np.log(N / df) * 1e6 + 0.5
+            ) / 1e6
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        sub = got[got.doc_id == i].sort_values("rank")
+        assert list(sub.term) == [t for t, _ in want], (i, list(sub.term), want)
+        assert np.allclose(sub.tfidf.to_numpy(), [s for _, s in want])
+
+
+def test_lsh_recall_monotone_in_tables(spark):
+    """OR-amplification soundness: the candidate set of n_tables=4 is a
+    superset of n_tables=1 (same base seed), and approximate top-k hits
+    vs ground truth can only be displaced by other ground-truth members —
+    so per-corpus total recall must be non-decreasing in n_tables."""
+    from audio_feature_extraction_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    gt = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+
+    def hits(n_tables):
+        r = lsh_bucketed_topk(emb, queries, k=10, n_tables=n_tables).select(
+            "query_id", "neighbor_id"
+        )
+        return r.join(gt, ["query_id", "neighbor_id"], "left_semi").count()
+
+    h1, h4 = hits(1), hits(4)
+    assert h4 >= h1, (h1, h4)
+    assert h4 > 0
