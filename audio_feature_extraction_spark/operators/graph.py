@@ -42,24 +42,35 @@ def connected_components(
     out-of-universe endpoints) — both CC implementations share this rule.
     Raises RuntimeError if ``max_iter`` rounds pass without convergence
     (silently-partial labels would corrupt downstream cluster stats)."""
+    all_nodes = nodes.select(F.col(id_col).alias("node"))
     sym = edges.select(
         F.col(edge_a).alias("src"), F.col(edge_b).alias("dst")
     ).unionAll(
         edges.select(F.col(edge_b).alias("src"), F.col(edge_a).alias("dst"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    # the contract ignores edges incident to an id absent from ``nodes``;
+    # filtering them out ONCE here (instead of relying on per-round join
+    # drops) shrinks every iteration's join input and makes the first-round
+    # shortcut below valid
+    sym = (
+        sym.join(all_nodes.select(F.col("node").alias("src")), "src", "left_semi")
+        .join(all_nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
+        .localCheckpoint(eager=True)
+    )
     # only edge-endpoint nodes ride the iteration: isolated nodes are their
     # own singleton cluster by definition and would otherwise multiply every
     # round's join/agg/checkpoint by |nodes| / |touched| (a dup graph is
     # SPARSE — a few % of a 100 TB corpus has a near-dup partner)
-    all_nodes = nodes.select(F.col(id_col).alias("node"))
-    touched = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .join(all_nodes, "node", "left_semi")  # output universe = nodes
+    touched = sym.select(F.col("src").alias("node")).distinct()
+    # first propagation round done as ONE agg: with lbl(v)=v initially, the
+    # round-1 neighbor minimum is just min(neighbor id), so initializing
+    # lbl(v)=min(v, min nbr(v)) skips a full join+agg+checkpoint round
+    nbr0 = sym.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("m0")
     )
-    lbl = touched.select(
-        "node", F.col("node").alias("lbl")
+    lbl = touched.join(nbr0, "node", "left").select(
+        "node",
+        F.least(F.col("node"), F.coalesce("m0", F.col("node"))).alias("lbl"),
     ).localCheckpoint(eager=True)
     changed = -1
     for _ in range(max_iter):
