@@ -185,3 +185,12 @@ def test_tfidf_topterms_mapside_group_limit(spark):
         r"WindowGroupLimit \[doc_id#\d+L?\][^\n]*Partial", plan
     ), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_trend_slope_single_exchange(spark):
+    """trend_slope: the per-user window min and the per-user aggregation
+    must share ONE hash(user_id) exchange — the agg reuses the window's
+    clustering, so the events table crosses the wire exactly once."""
+    plan = _plan(em.queries()["trend_slope"](spark, SF_DIR))
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 1 and keys[0].startswith("user_id"), keys
