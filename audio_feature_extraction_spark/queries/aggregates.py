@@ -425,3 +425,87 @@ SELECT user_id, n,
        END AS slope
 FROM a
 """
+
+
+def _q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full deg-1 polyfit analog (slope + intercept + R², ref
+    dtw_alignment.py:567): same exact-integer machinery as
+    :func:`_q_trend_slope` (x = whole seconds since the user's first
+    event, y quantized at 1e-6, DECIMAL(38,0)/HUGEINT sums) extended with
+    Syy so R² = num² / (den · (n·Σy² − (Σy)²)) is a double expression
+    over identical exact integers on both engines. num² would overflow
+    any 128-bit integer (≤ ~1e51), so the FINAL ratio arithmetic runs in
+    doubles — deterministic IEEE on identical inputs, no rounding step.
+    Zero-variance x or y → NULL slope/intercept/r2. One user_id
+    exchange, like trend_slope."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    us = "unix_micros(cast(ts as timestamp))"
+    ev = ev.select(
+        "user_id",
+        F.expr(
+            f"({us} - min({us}) over (partition by user_id)) div 1000000"
+        ).alias("x"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).alias("y"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    a = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d19("x")).alias("sx"),
+        F.sum(d19("y")).alias("sy"),
+        F.sum(d19("x") * d19("x")).alias("sxx"),
+        F.sum(d19("x") * d19("y")).alias("sxy"),
+        F.sum(d19("y") * d19("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(20,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    yden = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope_q = num / den  # y-quant units per second
+    nd_d = F.col("n").cast("double")
+    intercept_q = (F.col("sy").cast("double") - slope_q * F.col("sx").cast("double")) / nd_d
+    return a.select(
+        "user_id",
+        "n",
+        F.when(den != F.lit(0.0), slope_q / F.lit(1e6)).alias("slope"),
+        F.when(den != F.lit(0.0), intercept_q / F.lit(1e6)).alias("intercept"),
+        F.when(
+            (den != F.lit(0.0)) & (yden != F.lit(0.0)),
+            (num * num) / (den * yden),
+        ).alias("r2"),
+    )
+
+
+_SQL_TREND_FIT = """
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+           // 1000000 AS x,
+         CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL),
+a AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM b GROUP BY 1)
+SELECT user_id, n,
+  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) != 0.0
+       THEN CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6
+  END AS slope,
+  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) != 0.0
+       THEN (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE) / 1e6
+  END AS intercept,
+  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) != 0.0
+        AND CAST(n * syy - sy * sy AS DOUBLE) != 0.0
+       THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE))
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE))
+  END AS r2
+FROM a
+"""

@@ -71,6 +71,7 @@ HEADLINE = [
     "ann_recall",
     "bm25_scores",
     "tfidf_topterms",
+    "trend_fit",
 ]
 
 

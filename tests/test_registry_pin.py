@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 87
+PINNED_N = 88
 PINNED_CONTENT_SHA = (
-    "f05d652e3b944e40a8b41dc576c331ee21caad4f6eac67a0ccb94c689042b6ff"
+    "7f8738243caf78df07552f9c79560f069db95540ab71047f64ad4aeb277bcb6f"
 )
 PINNED_SHA = (
-    "8be6645e8dfc8f7936b0cba7ce567feaf88cf04918f531cb0bfb231e1219c7db"
+    "cb011a6646ba99e026096d3649652b0cee27fc4383c5793f831928d78020786b"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",

@@ -67,6 +67,40 @@ def test_trend_slope_matches_numpy_polyfit(spark, tmp_path):
         assert got.loc[uid, "n"] == len(g)
 
 
+def test_trend_fit_matches_numpy(spark, tmp_path):
+    """trend_fit's intercept and R² vs numpy polyfit + corrcoef on the
+    same quantized series — full deg-1 fit validated by an unrelated
+    algorithm."""
+    from audio_feature_extraction_spark.queries.aggregates import _q_trend_fit
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for uid in range(5):
+        n = int(rng.integers(3, 30))
+        base = pd.Timestamp("2024-05-01")
+        ts = base + pd.to_timedelta(
+            np.sort(rng.integers(0, 5_000_000, n)), unit="s"
+        )
+        v = rng.normal(100, 30, n)
+        for t, x in zip(ts, v):
+            rows.append((len(rows), t, uid, "a", float(x), "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = _write_events(spark, tmp_path, pdf)
+    got = _q_trend_fit(spark, d).toPandas().set_index("user_id")
+
+    for uid, g in pdf.groupby("user_id"):
+        us = g.ts.astype("int64") // 1000
+        x = ((us - us.min()) // 1_000_000).to_numpy(dtype=np.float64)
+        y = np.floor(g.value.to_numpy() * 1e6 + 0.5) / 1e6
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        assert np.isclose(got.loc[uid, "slope"], slope, rtol=1e-9), uid
+        assert np.isclose(got.loc[uid, "intercept"], intercept, rtol=1e-9), uid
+        assert np.isclose(got.loc[uid, "r2"], r2, rtol=1e-9), uid
+
+
 def test_bm25_matches_pandas_reference(spark, tmp_path):
     """Engine BM25 == a from-scratch pandas implementation of the Lucene
     formula on a small synthetic corpus (atol bounded by the engine's
