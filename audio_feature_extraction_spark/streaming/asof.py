@@ -40,9 +40,14 @@ def stream_asof_enrich(
     direction: str = "backward",
 ) -> DataFrame:
     """Enrich a streaming DataFrame with the as-of-current reference row
-    per (key, event-time). ``reference`` must be a bounded (batch)
-    DataFrame — the point-in-time dimension snapshot; re-create the query
-    to pick up a new snapshot (the standard stream-static pattern)."""
+    per (key, event-time).
+
+    STALENESS CONTRACT: ``reference`` must be a bounded (batch) DataFrame
+    — the point-in-time dimension snapshot — and it is collected ONCE at
+    plan build, so a long-running query serves that snapshot FOREVER.
+    Re-create the query to pick up a new snapshot, or use
+    :func:`stream_asof_enrich_refreshing` for per-trigger refresh (the
+    slowly-changing-dimension form)."""
     from audio_feature_extraction_spark.operators.asof import (
         _broadcast_arrow_asof,
     )
