@@ -22,7 +22,7 @@ PINNED_CONTENT_SHA = (
     "7f8738243caf78df07552f9c79560f069db95540ab71047f64ad4aeb277bcb6f"
 )
 PINNED_SHA = (
-    "cb011a6646ba99e026096d3649652b0cee27fc4383c5793f831928d78020786b"
+    "72484c66ec951fb579f98b6beda2daae0920d55b86ba19056e3b90a85d03fcab"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",
@@ -31,14 +31,15 @@ PINNED_HEAD = [
     "equi_join_fanout", "anti_join", "dedup_minhash_lsh", "dedup_exact",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "media_features",
     "cube_report", "text_features", "dtw_band_cost", "dedup_clusters",
-    "band_join", "tumbling_counts", "token_slice", "emb_neardup",
-    "binpack_assign", "time_range_stats", "doc_repetition", "contamination",
-    "stratified_sample", "length_buckets", "token_vocab", "packed_rollup",
-    "session_token_stats", "windowed_dedup", "json_props", "rank_stats",
+    "band_join", "tumbling_counts", "binpack_assign", "time_range_stats",
+    "doc_repetition", "contamination", "stratified_sample",
+    "length_buckets", "token_vocab", "packed_rollup",
+    "session_token_stats", "windowed_dedup", "json_props",
     "ann_topk_arrow", "packed_tokens", "eval_sample",
     # never driver-hashed before r04 — rotated in to earn green rows
     "asof_nearest", "dedup_containment", "dedup_clusters_star",
-    "unigram_surprisal", "top_ngrams_by_source", "trend_slope", "ann_recall",
+    "unigram_surprisal", "top_ngrams_by_source", "trend_slope",
+    "ann_recall", "bm25_scores", "tfidf_topterms", "trend_fit",
 ]
 
 
