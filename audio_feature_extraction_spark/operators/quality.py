@@ -285,6 +285,67 @@ def take_per_stratum(
     return ranked.drop("_rk")
 
 
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    out_rank: str = "draw_rank",
+    out_key: str | None = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis A-ES): draw the top-n rows per stratum by the priority key
+    ``ln(u) / w`` (descending), where ``u = (md5_60(key) + 1) / 2^60`` is a
+    deterministic uniform in (0, 1] and ``w = weight_col > 0``. Ordering by
+    ``ln(u)/w`` desc is order-equivalent to the textbook ``u^(1/w)`` desc
+    (ln is monotone; division by w > 0 preserves it) while avoiding a
+    cross-engine ``pow``. Inclusion probability is proportional to weight —
+    the quality-weighted corpus-sampling primitive of a token pipeline
+    (sample high-quality docs more, but keep tail diversity).
+
+    Determinism contract: u is pure hash (same draw on any engine/layout);
+    the only float op is one ln + one divide, so a cross-engine ulp
+    difference could in principle flip the order of two keys within
+    ~1e-16 relative — with continuous keys the collision probability is
+    negligible, and ties are still broken by ``key_col``.
+
+    HARD PRECONDITION: ``key_col`` unique per row and ``weight_col``
+    strictly positive (rows with w <= 0 or NULL are dropped — zero-weight
+    rows are never sampled under A-ES anyway).
+
+    Scale shape: same salted pre-prune as :func:`take_per_stratum` — best
+    n per (stratum, salt) cell map-side, then a final per-stratum window
+    over at most ``salts x n`` rows. Never sorts a whole stratum in one
+    task."""
+    h = portable_word_hash(F.col(key_col).cast("string"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    base = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_wkey", key)
+    order = [F.col("_wkey").desc(), F.col(key_col)]
+    salts = 32
+    pre_w = Window.partitionBy(
+        strata_col, F.pmod(h, F.lit(salts))
+    ).orderBy(*order)
+    pruned = (
+        base.withColumn("_prk", F.row_number().over(pre_w))
+        .where(F.col("_prk") <= n_per_stratum)
+        .drop("_prk")
+    )
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    ranked = pruned.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= n_per_stratum
+    )
+    ranked = ranked.withColumnRenamed("_rk", out_rank)
+    if out_key:
+        return ranked.withColumn(out_key, F.round(F.col("_wkey"), 9)).drop(
+            "_wkey"
+        )
+    return ranked.drop("_wkey")
+
+
 def pow2_length_bucket(n_col: Column) -> Column:
     """Power-of-two length bucket (largest power of two <= n as the bucket
     label): standard sequence-length histogram for batch-shape planning.

@@ -1,0 +1,121 @@
+"""Deterministic, engine-portable sketches for cardinality at scale.
+
+HyperLogLog approximate distinct-count built ONLY from exact integer
+register math, so any SQL engine reproduces the estimate bit-for-bit:
+
+- hash: the engine-wide portable md5-derived 60-bit int64
+  (:func:`~audio_feature_extraction_spark.operators.dedup.portable_word_hash`);
+- register index = ``h % m`` and remainder ``w = h div m`` (non-negative,
+  so ``%``/``div`` agree across engines — no signed-mod traps);
+- with ``m = 2**p`` the remainder has ``60 - p`` bits, so
+  rank = ``(61 - p) - bit_length(w)`` (the usual leading-zeros + 1),
+  computed via ``length(bin(w))`` (both Spark and DuckDB print minimal
+  binary; the w=0 branch is special-cased because both print ``'0'``);
+- the harmonic-mean denominator sum(2^-M_j) is kept EXACT by summing the
+  integers ``2^(wbits - M_j)`` as BIGINT (absent registers contribute
+  ``2^wbits``; the total is bounded by ``m * 2^wbits = 2^61``, inside
+  int64) and dividing once at the end — float summation order can never
+  perturb the estimate.
+
+Reference analog: the reference counts distinct units exactly with
+pandas `nunique` (`04_feature_extraction_experiment/
+experiment_data_manager.py` summary stats); at 100 TB an exact
+count-distinct of a high-cardinality key is a full shuffle of every
+distinct value, while the HLL register table is a fixed m rows per group
+regardless of input size — partial-aggregable map-side, one tiny shuffle.
+
+Scale notes (100 TB):
+- ``hll_registers`` is groupBy(group, idx).max(rank): Spark plans a
+  map-side partial max over (|groups| x m) cells, so the exchange carries
+  at most m=2^p rows per group whatever the row count;
+- the estimate fold is a second agg over that fixed-size frame — free;
+- unlike ``approx_count_distinct`` (HLL++ with engine-private hashing),
+  this sketch is reproducible OUTSIDE Spark, which is what the
+  correctness gate — and any cross-engine data-quality contract — needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.operators.dedup import portable_word_hash
+
+_HASH_BITS = 60
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant (Flajolet et al. 2007) —
+    evaluated the same way in the DuckDB oracle so the doubles agree."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    p: int = 9,
+) -> DataFrame:
+    """Per-group HLL register table: (group_cols..., _idx, _rank), at most
+    ``2**p`` rows per group. ``value`` must be a string column (hash input)."""
+    m = 1 << p
+    wbits = _HASH_BITS - p + 1  # rank budget: remainder bits + 1
+    h = df.select(*group_cols, portable_word_hash(value).alias("_h"))
+    shaped = h.select(
+        *group_cols,
+        F.pmod(F.col("_h"), F.lit(m)).alias("_idx"),
+        F.expr(f"_h div {m}").alias("_w"),
+    ).select(
+        *group_cols,
+        "_idx",
+        F.when(F.col("_w") == 0, F.lit(wbits))
+        .otherwise(F.lit(wbits) - F.length(F.bin("_w")))
+        .cast("int")
+        .alias("_rank"),
+    )
+    return shaped.groupBy(*group_cols, "_idx").agg(
+        F.max("_rank").alias("_rank")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int = 9,
+    out: str = "approx_distinct",
+) -> DataFrame:
+    """Fold a register table into one estimate row per group.
+
+    Exact-integer denominator: sum over present registers of
+    ``2^(wbits - rank)`` plus ``2^wbits`` per absent (zero) register,
+    summed as BIGINT; then raw = alpha * m^2 * 2^wbits / S in one double
+    division. Small-range (linear counting) correction applies when
+    raw <= 2.5 m and zero registers remain — both branches mirrored in
+    the oracle SQL."""
+    m = 1 << p
+    wbits = _HASH_BITS - p + 1
+    alpha = hll_alpha(m)
+    folded = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_nreg"),
+        F.sum(
+            # shiftleft with a column shift amount needs the SQL form (the
+            # PySpark wrapper only takes a literal int)
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {wbits} - _rank)")
+        ).alias("_s_present"),
+    )
+    zeros = F.lit(m) - F.col("_nreg")
+    s_total = (
+        F.col("_s_present") + zeros.cast("long") * F.lit(1 << wbits)
+    ).cast("double")
+    raw = F.lit(alpha * m * m) * F.lit(float(1 << wbits)) / s_total
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return folded.select(*group_cols, F.round(est, 4).alias(out))

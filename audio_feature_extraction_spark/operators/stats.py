@@ -146,3 +146,52 @@ def clip_gate(
         F.least(F.greatest(value, F.lit(lo)), F.lit(hi))
     )
     return F.when(is_active, clipped).otherwise(F.lit(0.0))
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Partition-skew diagnostic: the top-k heaviest keys with their share
+    of total rows and their hot-factor vs the mean per-key count — the
+    report a 100 TB pipeline runs BEFORE picking a shuffle key (a hot key
+    with share >> 1/shuffle_partitions means salting or AQE skew-join is
+    mandatory; see operators/asof.py's salted strategy).
+
+    Scale shape: one groupBy(key) count (map-side partial), then the
+    global totals ride along as a broadcast single-row frame (the
+    unigram_surprisal pattern — BroadcastNestedLoopJoin of 1 row, never a
+    CartesianProduct), and the top-k filter is a rank<=k window that
+    Spark 4 rewrites into a map-side WindowGroupLimit before the final
+    single-partition sort — only ~k rows per task reach it. Skew factor is
+    computed as cnt * n_keys / total in DOUBLE (both engines evaluate
+    left-to-right, IEEE-identical); counts stay exact BIGINT."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"),
+        F.count(F.lit(1)).alias("_nkeys"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "rank",
+            key_col,
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("_total"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("cnt").cast("double")
+                * F.col("_nkeys")
+                / F.col("_total"),
+                6,
+            ).alias("hot_factor"),
+            F.col("_nkeys").alias("n_keys"),
+        )
+    )

@@ -39,6 +39,40 @@ FROM documents
 WHERE {bucket} < (CASE {cases} ELSE {round(_SAMPLE_DEFAULT * 10000)} END)
 """
 
+_WS_K = 5
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus draw: A-ES weighted sampling without
+    replacement, 5 docs per source with inclusion probability proportional
+    to n_chars (operators/quality.py weighted_sample_per_stratum) —
+    deterministic on any engine/layout via the md5-derived uniform."""
+    d = _t(spark, sf_dir, "documents")
+    out = _Q.weighted_sample_per_stratum(
+        d, "doc_id", "n_chars", "source", _WS_K
+    )
+    return out.select(
+        "source", "draw_rank", "doc_id", "n_chars", "sample_key"
+    )
+
+def _sql_weighted_sample() -> str:
+    h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    u = f"(({h}) + 1) / 1152921504606846976.0"
+    return f"""
+WITH k AS (
+  SELECT source, doc_id, n_chars,
+         ln({u}) / CAST(n_chars AS DOUBLE) AS wkey
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0),
+r AS (
+  SELECT source, doc_id, n_chars, wkey,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id)
+           AS rk
+  FROM k)
+SELECT source, CAST(rk AS INT) AS draw_rank, doc_id, n_chars,
+       ROUND(wkey, 9) AS sample_key
+FROM r WHERE rk <= {_WS_K}
+"""
+
 def _q_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size eval-set draw: exactly 3 docs per (source) stratum in
     deterministic md5-hash order — same rows on any engine/layout."""

@@ -1,0 +1,131 @@
+"""Sketch / diagnostic queries: portable HLL approx-distinct and the
+key-skew report.
+
+Split layout per __spark_entry__.py's conventions (registry-only there;
+see that module's docstring for the cross-engine oracle rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.operators import sketch as _SK
+from audio_feature_extraction_spark.operators.stats import key_skew_report
+from audio_feature_extraction_spark.operators.timeutil import ts_micros
+from .common import _t
+
+# p=9 -> m=512 registers, wbits = 61 - 9 = 52; standard error ~4.6%.
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 52
+_POW_WBITS = 1 << _HLL_WBITS  # 2^52 = 4503599627370496
+
+
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (user, minute) pairs per event_type via the
+    engine-portable integer-exact HLL (operators/sketch.py), reported next
+    to the exact count so the relative error is part of the gated result.
+    The estimate itself is deterministic — the oracle reproduces the same
+    registers and the same double, so this is an EXACT correctness gate
+    over an approximate algorithm."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            (ts_micros("ts") - F.pmod(ts_micros("ts"), F.lit(60_000_000)))
+            .cast("string"),
+        ).alias("v"),
+    )
+    regs = _SK.hll_registers(base, F.col("v"), ["event_type"], p=_HLL_P)
+    est = _SK.hll_estimate(regs, ["event_type"], p=_HLL_P)
+    exact = base.groupBy("event_type").agg(
+        F.count_distinct("v").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "approx_distinct",
+        "exact_distinct",
+        F.round(
+            F.col("approx_distinct") / F.col("exact_distinct") - 1, 6
+        ).alias("rel_err"),
+    )
+
+
+def _sql_hll_distinct() -> str:
+    """The full register pipeline in ANSI SQL — same md5-60-bit hash, same
+    integer register math, same alpha literal (repr round-trips the exact
+    Python double Spark's plan embeds)."""
+    # scientific notation: DuckDB parses plain decimal-point literals as
+    # DECIMAL (which overflows in the m^2*2^52 product); E-notation is
+    # DOUBLE, and 17 significant digits round-trips the exact Python float
+    alpha_m2 = f"{_SK.hll_alpha(_HLL_M) * _HLL_M * _HLL_M:.17e}"
+    pow_w = f"{float(_POW_WBITS):.17e}"
+    m_f = f"{float(_HLL_M):.17e}"
+    return f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(user_id AS VARCHAR) || ':' ||
+         CAST(epoch_us(ts)
+              - ((epoch_us(ts) % 60000000) + 60000000) % 60000000
+              AS VARCHAR) AS v
+  FROM events),
+h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+  FROM v),
+r AS (
+  SELECT event_type, h % {_HLL_M} AS idx,
+         CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS}
+              ELSE {_HLL_WBITS} - length(bin(h // {_HLL_M})) END AS rank
+  FROM h),
+regs AS (
+  SELECT event_type, idx, MAX(rank) AS rank FROM r GROUP BY 1, 2),
+fold AS (
+  SELECT event_type, COUNT(*) AS nreg,
+         CAST(SUM(CAST(pow(2.0, {_HLL_WBITS} - rank) AS BIGINT)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT event_type,
+         {alpha_m2} * {pow_w} /
+           CAST(s_present + ({_HLL_M} - nreg) * {_POW_WBITS} AS DOUBLE)
+           AS raw,
+         {_HLL_M} - nreg AS zeros
+  FROM fold),
+o AS (
+  SELECT event_type,
+         ROUND(CASE WHEN raw <= {2.5 * _HLL_M:.17e} AND zeros > 0
+                    THEN {m_f} * ln({m_f} / zeros)
+                    ELSE raw END, 4) AS approx_distinct
+  FROM est),
+x AS (
+  SELECT event_type, COUNT(DISTINCT v) AS exact_distinct FROM v GROUP BY 1)
+SELECT o.event_type, approx_distinct, exact_distinct,
+       ROUND(approx_distinct / exact_distinct - 1, 6) AS rel_err
+FROM o JOIN x ON o.event_type = x.event_type
+"""
+
+
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report on events.user_id: top-10 hottest keys with
+    row share and hot-factor vs the mean key (operators/stats.py
+    key_skew_report) — the pre-flight check before picking a join or
+    aggregation key at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    return key_skew_report(e, "user_id", top_k=10)
+
+
+_SQL_KEY_SKEW = """
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c),
+r AS (SELECT user_id, cnt, total, n_keys,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rank
+      FROM c CROSS JOIN t)
+SELECT CAST(rank AS INT) AS rank, user_id, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS hot_factor,
+       n_keys
+FROM r WHERE rank <= 10
+"""

@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 88
+PINNED_N = 91
 PINNED_CONTENT_SHA = (
-    "7f8738243caf78df07552f9c79560f069db95540ab71047f64ad4aeb277bcb6f"
+    "d649ffc37517527b87fe2470b03883e9987ee73e069cfea5f696ebe3a1679836"
 )
 PINNED_SHA = (
-    "72484c66ec951fb579f98b6beda2daae0920d55b86ba19056e3b90a85d03fcab"
+    "01e4e9b137684f1b2cc6d6359b62cc53e56252b225160b63791a0d46147de86f"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",

@@ -219,3 +219,148 @@ def test_lsh_recall_monotone_in_tables(spark):
     h1, h4 = hits(1), hits(4)
     assert h4 >= h1, (h1, h4)
     assert h4 > 0
+
+
+def _md5_60(s: str) -> int:
+    """Independent copy of the engine's portable 60-bit hash (hashlib,
+    not Spark): int64 of the first 15 hex chars of md5."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_hll_matches_independent_python_and_error_bound(spark, tmp_path):
+    """The Spark HLL estimate equals a from-scratch hashlib/numpy HLL on
+    the same values (independent register math: numpy bit twiddling vs
+    Spark's bin()/length() trick), and the estimate lands within 5 standard
+    errors (sigma = 1.04/sqrt(m)) of the true cardinality."""
+    from audio_feature_extraction_spark.operators.sketch import (
+        hll_alpha,
+        hll_estimate,
+        hll_registers,
+    )
+
+    p = 9
+    m = 1 << p
+    wbits = 60 - p + 1
+    vals = [f"user-{i}:{i % 7}" for i in range(5000)] * 2  # dups on purpose
+    pdf = pd.DataFrame({"g": ["x"] * len(vals), "v": vals})
+    sdf = spark.createDataFrame(pdf)
+    regs = hll_registers(sdf, F.col("v"), ["g"], p=p)
+    got = hll_estimate(regs, ["g"], p=p).toPandas().approx_distinct[0]
+
+    # independent: numpy register simulation
+    M = np.zeros(m, dtype=np.int64)
+    for v in set(vals):
+        h = _md5_60(v)
+        idx, w = h % m, h // m
+        rank = wbits if w == 0 else wbits - int(w).bit_length()
+        M[idx] = max(M[idx], rank)
+    s = float(np.sum(np.ldexp(1.0, -M)))  # sum 2^-M_j (M_j=0 for absent)
+    raw = hll_alpha(m) * m * m / s
+    zeros = int(np.sum(M == 0))
+    want = m * np.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+    assert abs(got - round(want, 4)) < 1e-6, (got, want)
+
+    true_n = len(set(vals))
+    assert abs(got / true_n - 1) < 5 * 1.04 / np.sqrt(m), (got, true_n)
+
+
+def test_weighted_sample_matches_independent_pandas(spark, tmp_path):
+    """A-ES weighted draw == an independent pandas implementation (hashlib
+    uniform, numpy log, nsmallest-free sort) on every stratum; zero and
+    negative weights are never drawn."""
+    from audio_feature_extraction_spark.operators.quality import (
+        weighted_sample_per_stratum,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(n)],
+            "w": np.concatenate(
+                [rng.integers(1, 10_000, n - 20), np.zeros(10), -np.ones(10)]
+            ).astype(np.int64),
+            "s": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        weighted_sample_per_stratum(sdf, "doc_id", "w", "s", 4)
+        .select("s", "draw_rank", "doc_id")
+        .toPandas()
+        .sort_values(["s", "draw_rank"])
+        .reset_index(drop=True)
+    )
+
+    live = pdf[pdf.w > 0].copy()
+    u = live.doc_id.map(lambda d: (_md5_60(d) + 1) / float(1 << 60))
+    live["wkey"] = np.log(u) / live.w.astype(np.float64)
+    want = (
+        live.sort_values(["wkey", "doc_id"], ascending=[False, True])
+        .groupby("s")
+        .head(4)
+        .sort_values(["s", "wkey"], ascending=[True, False])
+    )
+    want["draw_rank"] = want.groupby("s").cumcount() + 1
+    want = want[["s", "draw_rank", "doc_id"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"draw_rank": "int64"}), want.astype({"draw_rank": "int64"})
+    )
+    assert not set(got.doc_id) & set(pdf[pdf.w <= 0].doc_id)
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """Statistical sanity on the A-ES property itself: over 40 disjoint
+    hash-perturbed repetitions, a 9x-heavier item is drawn ~9x as often
+    as a unit item (binomial tolerance), i.e. inclusion probability is
+    genuinely weight-proportional, not just deterministic."""
+    from audio_feature_extraction_spark.operators.quality import (
+        weighted_sample_per_stratum,
+    )
+
+    reps = 40
+    rows = []
+    for r in range(reps):
+        for i in range(40):
+            rows.append((f"r{r}-heavy-{i}", 9, f"s{r}"))
+            rows.append((f"r{r}-light-{i}", 1, f"s{r}"))
+    sdf = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "w", "s"]))
+    got = weighted_sample_per_stratum(sdf, "doc_id", "w", "s", 8).toPandas()
+    heavy = got.doc_id.str.contains("heavy").sum()
+    light = got.doc_id.str.contains("light").sum()
+    assert heavy + light == reps * 8
+    # E[heavy draw] with 9:1 weights and half the items heavy is ~0.9/draw;
+    # 320 draws, sigma ~ 5.4 — allow 5 sigma
+    assert heavy > 0.9 * reps * 8 - 30, (heavy, light)
+
+
+def test_key_skew_matches_pandas_value_counts(spark, tmp_path):
+    """key_skew_report == pandas value_counts-derived report, including a
+    deliberately hot key and tie-break by key."""
+    from audio_feature_extraction_spark.operators.stats import key_skew_report
+
+    keys = (["hot"] * 500) + [f"k{i % 37}" for i in range(700)]
+    sdf = spark.createDataFrame(pd.DataFrame({"user_id": keys}))
+    got = key_skew_report(sdf, "user_id", top_k=5).toPandas()
+
+    vc = pd.Series(keys).value_counts()
+    total, nk = int(vc.sum()), int(len(vc))
+    t = (
+        vc.rename_axis("user_id")
+        .reset_index(name="cnt")
+        .sort_values(["cnt", "user_id"], ascending=[False, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+    assert list(got.user_id) == list(t.user_id)
+    assert list(got.cnt) == list(t.cnt)
+    assert got.n_keys.eq(nk).all()
+    np.testing.assert_allclose(
+        got.share, np.round(t.cnt / total, 6), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        got.hot_factor, np.round(t.cnt * nk / total, 6), atol=1e-12
+    )
+    assert got.hot_factor.iloc[0] > 10  # the planted hot key is visible
