@@ -72,6 +72,9 @@ HEADLINE = [
     "bm25_scores",
     "tfidf_topterms",
     "trend_fit",
+    "hll_distinct",
+    "weighted_sample",
+    "key_skew",
 ]
 
 
