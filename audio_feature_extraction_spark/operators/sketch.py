@@ -84,6 +84,23 @@ def hll_registers(
     )
 
 
+def hll_merge(
+    *register_frames: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Merge register tables from disjoint (or overlapping) inputs into one:
+    union + per-(group, idx) max. Because max is idempotent/commutative/
+    associative, merging partial sketches gives EXACTLY the registers of the
+    combined input — the property that lets 1000 executors (or 1000 daily
+    partitions) sketch independently and fold the fixed-size register
+    tables, never re-reading raw data (tested in
+    tests/test_round4_props.py::test_hll_merge_is_lossless)."""
+    out = register_frames[0]
+    for f in register_frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy(*group_cols, "_idx").agg(F.max("_rank").alias("_rank"))
+
+
 def hll_estimate(
     registers: DataFrame,
     group_cols: list[str],

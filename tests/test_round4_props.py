@@ -364,3 +364,38 @@ def test_key_skew_matches_pandas_value_counts(spark, tmp_path):
         got.hot_factor, np.round(t.cnt * nk / total, 6), atol=1e-12
     )
     assert got.hot_factor.iloc[0] > 10  # the planted hot key is visible
+
+
+def test_hll_merge_is_lossless(spark):
+    """Sketch mergeability — the scale property: registers built on two
+    arbitrary input splits, merged with hll_merge, fold to the bit-identical
+    estimate of one pass over the whole input (max is idempotent/commutative/
+    associative, so overlap between splits must not matter either)."""
+    from audio_feature_extraction_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a" if i % 3 else "b" for i in range(3000)],
+            "v": [f"item-{i % 1100}" for i in range(3000)],
+        }
+    )
+    whole = spark.createDataFrame(pdf)
+    lo = spark.createDataFrame(pdf.iloc[:2000])   # overlaps nothing
+    hi = spark.createDataFrame(pdf.iloc[1500:])   # overlaps lo by 500 rows
+
+    one_pass = hll_estimate(
+        hll_registers(whole, F.col("v"), ["g"]), ["g"]
+    ).toPandas().set_index("g").approx_distinct
+    merged = hll_estimate(
+        hll_merge(
+            hll_registers(lo, F.col("v"), ["g"]),
+            hll_registers(hi, F.col("v"), ["g"]),
+            group_cols=["g"],
+        ),
+        ["g"],
+    ).toPandas().set_index("g").approx_distinct
+    pd.testing.assert_series_equal(one_pass.sort_index(), merged.sort_index())
