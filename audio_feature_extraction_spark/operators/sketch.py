@@ -1,7 +1,8 @@
-"""Deterministic, engine-portable sketches for cardinality at scale.
-
-HyperLogLog approximate distinct-count built ONLY from exact integer
-register math, so any SQL engine reproduces the estimate bit-for-bit:
+"""Deterministic, engine-portable sketches for cardinality & frequency at
+scale: HyperLogLog approximate distinct-count and a Count-Min frequency
+sketch, both mergeable and both built ONLY from exact integer register
+math over the portable md5-60 hash, so any SQL engine reproduces the
+estimates bit-for-bit. HLL register derivation:
 
 - hash: the engine-wide portable md5-derived 60-bit int64
   (:func:`~audio_feature_extraction_spark.operators.dedup.portable_word_hash`);
@@ -81,6 +82,107 @@ def hll_registers(
     )
     return shaped.groupBy(*group_cols, "_idx").agg(
         F.max("_rank").alias("_rank")
+    )
+
+
+def cms_registers(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    d: int = 4,
+    w: int = 2048,
+) -> DataFrame:
+    """Count-Min sketch register table: (group_cols..., _row, _idx, _cnt),
+    at most ``d*w`` rows per group whatever the input size. Row ``i`` hashes
+    ``value`` with the portable md5-60 hash of ``'i:' || value`` (independent
+    hash per row via the seed prefix); the counter is a plain COUNT.
+
+    Scale shape: the d-way explode is narrow (no exchange), and the
+    groupBy(group, _row, _idx) count partial-aggregates map-side to at most
+    ``d*w`` cells per task, so the single shuffle carries a fixed-size
+    frame per group regardless of row count — the same bounded-exchange
+    property as :func:`hll_registers`. Mergeable: union + SUM per cell
+    (:func:`cms_merge`), exactly additive because counters are exact."""
+    rows = df.select(*group_cols, value.cast("string").alias("_v"))
+    exploded = rows.select(
+        *group_cols,
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("_row"),
+        "_v",
+    )
+    keyed = exploded.select(
+        *group_cols,
+        "_row",
+        F.pmod(
+            portable_word_hash(
+                F.concat_ws(":", F.col("_row").cast("string"), F.col("_v"))
+            ),
+            F.lit(w),
+        ).alias("_idx"),
+    )
+    return keyed.groupBy(*group_cols, "_row", "_idx").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+
+
+def cms_merge(
+    *register_frames: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Merge CMS register tables from DISJOINT inputs: union + per-cell SUM
+    (counters are exact counts, so the merge is exactly the sketch of the
+    concatenated input). Unlike :func:`hll_merge`, overlapping inputs
+    double-count — CMS is a linear sketch."""
+    out = register_frames[0]
+    for f in register_frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy(*group_cols, "_row", "_idx").agg(
+        F.sum("_cnt").alias("_cnt")
+    )
+
+
+def cms_lookup(
+    registers: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    d: int = 4,
+    w: int = 2048,
+    out: str = "cms_count",
+) -> DataFrame:
+    """Point-query the sketch for each probe key: min over the d rows of
+    the counter at that key's cell (0 for an empty cell). The CMS
+    guarantee: never an undercount, overcount bounded by ~2N/w per row
+    with probability 1 - 2^-d (property-tested in
+    tests/test_round4_props.py).
+
+    Plan shape: probes explode d-ways then join the FIXED-size register
+    frame (≤ d*w rows per group) broadcast-hash — the probe side, however
+    large, is never shuffled."""
+    p = probes.select(*group_cols, F.col(key_col)).select(
+        *group_cols,
+        key_col,
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("_row"),
+    )
+    p = p.withColumn(
+        "_idx",
+        F.pmod(
+            portable_word_hash(
+                F.concat_ws(
+                    ":",
+                    F.col("_row").cast("string"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            F.lit(w),
+        ),
+    )
+    joined = p.join(
+        F.broadcast(registers), [*group_cols, "_row", "_idx"], "left"
+    ).select(
+        *group_cols, key_col, F.coalesce("_cnt", F.lit(0)).alias("_cnt")
+    )
+    return joined.groupBy(*group_cols, key_col).agg(
+        F.min("_cnt").alias(out)
     )
 
 

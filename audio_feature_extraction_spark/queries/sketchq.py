@@ -108,6 +108,73 @@ FROM o JOIN x ON o.event_type = x.event_type
 """
 
 
+_CMS_D = 4
+_CMS_W = 2048
+
+
+def _q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch point-queried at the 5 hottest users:
+    exact count next to the sketch estimate and the (always >= 0)
+    overcount. Registers are d=4 x w=2048 exact counters over the portable
+    hash (operators/sketch.py cms_registers/cms_lookup) — the shuffle
+    carries at most d*w cells however many events stream in, and the probe
+    join broadcasts the fixed-size register frame."""
+    e = _t(spark, sf_dir, "events")
+    regs = _SK.cms_registers(
+        e, F.col("user_id"), [], d=_CMS_D, w=_CMS_W
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    from pyspark.sql import Window
+
+    wnd = Window.orderBy(F.col("exact_cnt").desc(), "user_id")
+    top = (
+        exact.withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= 5)
+    )
+    est = _SK.cms_lookup(
+        regs, top.select("user_id"), "user_id", [], d=_CMS_D, w=_CMS_W
+    )
+    return top.join(est, "user_id").select(
+        "rank",
+        "user_id",
+        "exact_cnt",
+        "cms_count",
+        (F.col("cms_count") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def _sql_cms_freq() -> str:
+    def _h(row: str, val: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(" + row + " AS VARCHAR) || ':' || "
+            "CAST(" + val + " AS VARCHAR)), 1, 15)) AS BIGINT) % " + str(_CMS_W)
+        )
+
+    seeds = ", ".join(f"({i})" for i in range(_CMS_D))
+    return f"""
+WITH seeds AS (SELECT * FROM (VALUES {seeds}) s(row)),
+h AS (
+  SELECT row, {_h('row', 'user_id')} AS idx
+  FROM events CROSS JOIN seeds),
+regs AS (SELECT row, idx, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1),
+top AS (SELECT user_id, exact_cnt,
+               ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, user_id) AS rk
+        FROM exact),
+probe AS (
+  SELECT t.user_id, s.row, {_h('s.row', 't.user_id')} AS idx
+  FROM top t CROSS JOIN seeds s WHERE t.rk <= 5),
+est AS (
+  SELECT p.user_id, MIN(COALESCE(r.cnt, 0)) AS cms_count
+  FROM probe p LEFT JOIN regs r ON p.row = r.row AND p.idx = r.idx
+  GROUP BY 1)
+SELECT CAST(t.rk AS INT) AS rank, t.user_id, t.exact_cnt, e.cms_count,
+       e.cms_count - t.exact_cnt AS overcount
+FROM top t JOIN est e ON t.user_id = e.user_id
+WHERE t.rk <= 5
+"""
+
+
 def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew report on events.user_id: top-10 hottest keys with
     row share and hot-factor vs the mean key (operators/stats.py

@@ -75,6 +75,7 @@ HEADLINE = [
     "hll_distinct",
     "weighted_sample",
     "key_skew",
+    "cms_freq",
 ]
 
 

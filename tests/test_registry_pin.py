@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 91
+PINNED_N = 92
 PINNED_CONTENT_SHA = (
-    "d649ffc37517527b87fe2470b03883e9987ee73e069cfea5f696ebe3a1679836"
+    "04015bc88b87d8e6a7d0113ce2d71d9f2a63022baaa2e9392c2f0eb4a0252b22"
 )
 PINNED_SHA = (
-    "01e4e9b137684f1b2cc6d6359b62cc53e56252b225160b63791a0d46147de86f"
+    "656c4b91ee96ee2734fd001fb6d621126a0b5f5bb936157af8054916840d6b1a"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",

@@ -399,3 +399,74 @@ def test_hll_merge_is_lossless(spark):
         ["g"],
     ).toPandas().set_index("g").approx_distinct
     pd.testing.assert_series_equal(one_pass.sort_index(), merged.sort_index())
+
+
+def test_cms_never_undercounts_and_matches_independent(spark):
+    """CMS point queries == an independent numpy Count-Min on the same
+    data at collision-forcing width (w=256 << 600 keys), and the one-sided
+    error guarantee holds: estimate >= exact for EVERY key."""
+    from audio_feature_extraction_spark.operators.sketch import (
+        cms_lookup,
+        cms_registers,
+    )
+
+    d, w = 4, 256
+    rng = np.random.default_rng(11)
+    keys = rng.zipf(1.5, 5000) % 600  # zipfian: some hot, long tail
+    pdf = pd.DataFrame({"k": [f"key-{k}" for k in keys]})
+    sdf = spark.createDataFrame(pdf)
+    regs = cms_registers(sdf, F.col("k"), [], d=d, w=w)
+    probes = spark.createDataFrame(
+        pd.DataFrame({"k": sorted(pdf.k.unique())})
+    )
+    got = (
+        cms_lookup(regs, probes, "k", [], d=d, w=w)
+        .toPandas()
+        .set_index("k")
+        .cms_count
+    )
+
+    # independent numpy CMS
+    M = np.zeros((d, w), dtype=np.int64)
+    for v in pdf.k:
+        for i in range(d):
+            M[i, _md5_60(f"{i}:{v}") % w] += 1
+    exact = pdf.k.value_counts()
+    for v in exact.index:
+        want = min(M[i, _md5_60(f"{i}:{v}") % w] for i in range(d))
+        assert got[v] == want, (v, got[v], want)
+        assert got[v] >= exact[v], (v, got[v], exact[v])
+
+
+def test_cms_merge_is_additive(spark):
+    """Linear-sketch property: registers built on two disjoint splits,
+    cms_merge'd, answer every point query identically to one pass over
+    the whole input."""
+    from audio_feature_extraction_spark.operators.sketch import (
+        cms_lookup,
+        cms_merge,
+        cms_registers,
+    )
+
+    d, w = 4, 128
+    pdf = pd.DataFrame({"k": [f"u{i % 97}" for i in range(2000)]})
+    whole = spark.createDataFrame(pdf)
+    lo = spark.createDataFrame(pdf.iloc[:900])
+    hi = spark.createDataFrame(pdf.iloc[900:])
+    probes = spark.createDataFrame(pd.DataFrame({"k": sorted(pdf.k.unique())}))
+
+    one = (
+        cms_lookup(cms_registers(whole, F.col("k"), [], d=d, w=w),
+                   probes, "k", [], d=d, w=w)
+        .toPandas().set_index("k").cms_count.sort_index()
+    )
+    merged_regs = cms_merge(
+        cms_registers(lo, F.col("k"), [], d=d, w=w),
+        cms_registers(hi, F.col("k"), [], d=d, w=w),
+        group_cols=[],
+    )
+    two = (
+        cms_lookup(merged_regs, probes, "k", [], d=d, w=w)
+        .toPandas().set_index("k").cms_count.sort_index()
+    )
+    pd.testing.assert_series_equal(one, two)
