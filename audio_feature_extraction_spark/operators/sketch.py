@@ -186,6 +186,83 @@ def cms_lookup(
     )
 
 
+def bloom_bits(
+    df: DataFrame,
+    value: Column,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom filter as a table of DISTINCT set bit positions (single column
+    ``_bit``), at most ``m_bits`` rows whatever the build-side size. Hash
+    ``i`` of a value is the portable md5-60 of ``'i:' || value`` mod
+    ``m_bits`` — the same seed-prefix trick as :func:`cms_registers`, so
+    any SQL engine reproduces the exact bit set.
+
+    Scale shape: the k-way explode is narrow, and the distinct partial-
+    aggregates map-side to at most ``m_bits`` rows per task, so the one
+    shuffle carries a fixed-size frame regardless of build rows. Mergeable
+    by plain union+distinct (a Bloom filter is a bitwise OR)."""
+    rows = df.select(value.cast("string").alias("_v"))
+    exploded = rows.select(
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_seed"),
+        "_v",
+    )
+    return exploded.select(
+        F.pmod(
+            portable_word_hash(
+                F.concat_ws(":", F.col("_seed").cast("string"), F.col("_v"))
+            ),
+            F.lit(m_bits),
+        ).alias("_bit")
+    ).distinct()
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+    out: str = "bloom_pass",
+) -> DataFrame:
+    """Annotate ``probe`` with boolean ``out``: True iff ALL k bit
+    positions of ``key_col`` are set in the filter. Never a false
+    negative (every build key passes — property-tested); false positives
+    at the standard (1 - e^(-kn/m))^k rate.
+
+    This is the distributed semi-join-pruning primitive: at 100 TB the
+    bit table folds to ONE row holding a sorted array (≤ m_bits ints,
+    computed once), broadcast to every task; the probe streams through k
+    codegen'd ``array_contains`` probes row-preserving — the probe is
+    NEVER shuffled and never joined (duplicate probe rows survive
+    untouched). Rows are dropped (or flagged) before the expensive exact
+    join ever sees them. The single-row crossJoin plans as
+    BroadcastNestedLoopJoin, never CartesianProduct."""
+    pk = F.col(key_col).cast("string")
+    # coalesce: an EMPTY build side must yield [] (reject-all), never NULL
+    bitset = bits.agg(
+        F.coalesce(
+            F.array_sort(F.collect_set("_bit")),
+            F.array().cast("array<bigint>"),
+        ).alias("_bits")
+    )
+    cur = probe.crossJoin(F.broadcast(bitset))
+    hits = [
+        F.array_contains(
+            "_bits",
+            F.pmod(
+                portable_word_hash(F.concat_ws(":", F.lit(str(i)), pk)),
+                F.lit(m_bits),
+            ),
+        )
+        for i in range(k)
+    ]
+    passed = hits[0]
+    for c in hits[1:]:
+        passed = passed & c
+    return cur.select(*probe.columns, passed.alias(out))
+
+
 def hll_merge(
     *register_frames: DataFrame,
     group_cols: list[str],

@@ -175,6 +175,101 @@ WHERE t.rk <= 5
 """
 
 
+_BLOOM_M = 512
+_BLOOM_K = 4
+
+
+def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning report: build a m=512/k=4 filter
+    over the high-balance customers (c_acctbal > 9000), flag every order
+    through it (operators/sketch.py bloom_bits/bloom_might_contain), and
+    report per order priority how many orders pass the filter vs the
+    exact semi-join — the false-positive surplus is part of the gated
+    result, and the no-false-negative guarantee is the invariant
+    false_pos >= 0 on every row. m is deliberately small so the fp rate
+    is visibly nonzero at test scale; the whole filter build is one
+    bounded distinct (<= m rows) and the probe side crosses only
+    broadcast joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    build = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    bits = _SK.bloom_bits(
+        build, F.col("c_custkey"), m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    probed = _SK.bloom_might_contain(
+        o, bits, "o_custkey", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    flagged = probed.join(
+        F.broadcast(
+            build.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.lit(1).alias("_in"),
+            )
+        ),
+        "o_custkey",
+        "left",
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("bloom_pass").cast("long")).alias("bloom_pass_cnt"),
+            F.sum(F.coalesce("_in", F.lit(0)).cast("long")).alias(
+                "exact_cnt"
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "bloom_pass_cnt",
+            "exact_cnt",
+            (F.col("bloom_pass_cnt") - F.col("exact_cnt")).alias(
+                "false_pos"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _sql_bloom_prune() -> str:
+    def _h(seed: str, val: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(" + seed + " AS VARCHAR) || ':' "
+            "|| CAST(" + val + " AS VARCHAR)), 1, 15)) AS BIGINT) % "
+            + str(_BLOOM_M)
+        )
+
+    seeds = ", ".join(f"({i})" for i in range(_BLOOM_K))
+    return f"""
+WITH build AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+seeds AS (SELECT * FROM (VALUES {seeds}) s(seed)),
+bits AS (
+  SELECT DISTINCT {_h('seed', 'c_custkey')} AS bit
+  FROM build CROSS JOIN seeds),
+probe AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_custkey, s.seed,
+         {_h('s.seed', 'o.o_custkey')} AS bit
+  FROM orders o CROSS JOIN seeds s),
+passed AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey,
+         (COUNT(b.bit) = {_BLOOM_K}) AS bloom_pass
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY 1, 2, 3)
+SELECT p.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN p.bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS bloom_pass_cnt,
+       CAST(SUM(CASE WHEN bl.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS exact_cnt,
+       CAST(SUM(CASE WHEN p.bloom_pass THEN 1 ELSE 0 END)
+          - SUM(CASE WHEN bl.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS false_pos
+FROM passed p LEFT JOIN build bl ON p.o_custkey = bl.c_custkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew report on events.user_id: top-10 hottest keys with
     row share and hot-factor vs the mean key (operators/stats.py

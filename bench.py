@@ -76,6 +76,7 @@ HEADLINE = [
     "weighted_sample",
     "key_skew",
     "cms_freq",
+    "bloom_prune",
 ]
 
 

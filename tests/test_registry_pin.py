@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 92
+PINNED_N = 93
 PINNED_CONTENT_SHA = (
-    "04015bc88b87d8e6a7d0113ce2d71d9f2a63022baaa2e9392c2f0eb4a0252b22"
+    "27b97237bb365f1edce7c66d05349e1d06dcb91ed02866abb6301d019c1d9024"
 )
 PINNED_SHA = (
-    "656c4b91ee96ee2734fd001fb6d621126a0b5f5bb936157af8054916840d6b1a"
+    "eeb7d74ae5347466311f69c1e86e4d2235b3de0dea7def811b8869ddbba65f09"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",

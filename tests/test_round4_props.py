@@ -470,3 +470,52 @@ def test_cms_merge_is_additive(spark):
         .toPandas().set_index("k").cms_count.sort_index()
     )
     pd.testing.assert_series_equal(one, two)
+
+
+def test_bloom_no_false_negatives_and_matches_independent(spark):
+    """Bloom flags == an independent numpy filter bit-for-bit, and every
+    build key passes (no false negatives) at collision-heavy m=128."""
+    from audio_feature_extraction_spark.operators.sketch import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    m, k = 128, 4
+    build_keys = [f"u{i}" for i in range(0, 60, 2)]  # 30 evens
+    probe_keys = [f"u{i}" for i in range(60)]  # all 60
+    build = spark.createDataFrame(pd.DataFrame({"k": build_keys}))
+    probe = spark.createDataFrame(pd.DataFrame({"k": probe_keys}))
+    bits = bloom_bits(build, F.col("k"), m_bits=m, k=k)
+    got = (
+        bloom_might_contain(probe, bits, "k", m_bits=m, k=k)
+        .toPandas().set_index("k").bloom_pass
+    )
+
+    indep = {_md5_60(f"{i}:{v}") % m for v in build_keys for i in range(k)}
+    for v in probe_keys:
+        want = all(_md5_60(f"{i}:{v}") % m in indep for i in range(k))
+        assert got[v] == want, (v, got[v], want)
+    for v in build_keys:  # one-sided guarantee
+        assert got[v]
+
+
+def test_bloom_probe_rows_preserved(spark):
+    """bloom_might_contain is row-preserving: duplicate probe rows and
+    extra columns survive untouched (no regroup, no dedup)."""
+    from audio_feature_extraction_spark.operators.sketch import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    build = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"]}))
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "z", "z", "z"], "pay": [1, 2, 3, 4, 5]})
+    )
+    bits = bloom_bits(build, F.col("k"), m_bits=256, k=3)
+    out = (
+        bloom_might_contain(probe, bits, "k", m_bits=256, k=3)
+        .toPandas().sort_values("pay").reset_index(drop=True)
+    )
+    assert len(out) == 5
+    assert out.pay.tolist() == [1, 2, 3, 4, 5]
+    assert out[out.k == "a"].bloom_pass.all()
