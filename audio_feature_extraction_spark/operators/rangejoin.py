@@ -11,10 +11,85 @@ one row per left row, map-side partial first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from audio_feature_extraction_spark.operators.timeutil import ts_micros
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_sec: float = 21_600.0,
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """All (left, right) row pairs whose CLOSED µs intervals overlap
+    (``ls <= re AND rs <= le``), each pair emitted EXACTLY once — with one
+    equi-shuffle on a time bucket, never a cross product.
+
+    Start/end columns are epoch-µs longs (caller converts via
+    :func:`~audio_feature_extraction_spark.operators.timeutil.ts_micros`);
+    ``end >= start`` is the caller's contract (session bounds satisfy it
+    by construction). Negative epochs are handled: bucketing uses the true
+    floor ``(us - pmod(us, w)) div w``, not truncating division.
+
+    Shape: each interval explodes to the buckets it covers
+    (``sequence`` is safe — hi >= lo by the contract), the join is a plain
+    hash equi-join on the bucket plus the overlap predicate, and the
+    exactly-once rule keeps a pair only in the bucket containing
+    ``greatest(ls, rs)`` — the overlap's first instant, which both
+    intervals necessarily cover, so no pair is lost and none duplicated
+    (no distinct needed: dedup is a filter, not a shuffle). ``bucket_sec``
+    trades explode fan-out (long intervals / small buckets) against
+    per-bucket candidate quadratics (dense buckets / big buckets); skewed
+    hot buckets split under AQE.
+
+    Reference analog: the alignment-window candidate pairing of
+    `05_dtw_alignment_experiment/dtw_alignment.py:885-928`, generalized
+    from point-in-band to interval-overlap.
+    """
+    w = int(round(bucket_sec * 1_000_000))
+
+    def _bucket(col: str) -> F.Column:
+        us = F.col(col)
+        # (us - pmod)/w is exact: the numerator is a multiple of w, so the
+        # double division cannot round for any |us| < 2^53 µs (~285 years)
+        return ((us - F.pmod(us, F.lit(w))) / F.lit(w)).cast("long")
+
+    l = left.withColumn(
+        "_lb",
+        F.explode(
+            F.sequence(_bucket(left_start), _bucket(left_end))
+        ),
+    )
+    r = right.withColumn(
+        "_rb",
+        F.explode(
+            F.sequence(_bucket(right_start), _bucket(right_end))
+        ),
+    )
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(right_start), F.col(right_end)
+    first_overlap_bucket = (
+        (
+            F.greatest(ls, rs)
+            - F.pmod(F.greatest(ls, rs), F.lit(w))
+        )
+        / F.lit(w)
+    ).cast("long")
+    cond = (
+        (F.col("_lb") == F.col("_rb"))
+        & (ls <= re_)
+        & (rs <= le)
+        & (F.col("_lb") == first_overlap_bucket)
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return l.join(r, cond, "inner").drop("_lb", "_rb")
 
 
 def band_join_stats(

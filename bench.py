@@ -77,6 +77,7 @@ HEADLINE = [
     "key_skew",
     "cms_freq",
     "bloom_prune",
+    "session_overlap",
 ]
 
 

@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 93
+PINNED_N = 94
 PINNED_CONTENT_SHA = (
-    "27b97237bb365f1edce7c66d05349e1d06dcb91ed02866abb6301d019c1d9024"
+    "edad0fe54391c6303d01d0946cd0d7741e9009edce06b4005f368dfa460926ad"
 )
 PINNED_SHA = (
-    "eeb7d74ae5347466311f69c1e86e4d2235b3de0dea7def811b8869ddbba65f09"
+    "46404af6441e7a7286bf449f3648b56e1f032118724e46e8e2ffe0d104fddd63"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",
