@@ -170,6 +170,118 @@ class CheckpointTable:
             return input_df
         return input_df.join(done, on=key_cols, how="left_anti")
 
+    # ------------------------------------------------------------- upsert
+
+    _OP = "_op"  # 'U' = upsert row, 'D' = equality-delete tombstone
+
+    def upsert(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        payload_col: str | None = None,
+        watermark_col: str | None = None,
+    ) -> int:
+        """MERGE INTO, Iceberg-v2 merge-on-read style: append the delta as
+        a snapshot tagged ``_op='U'``; :meth:`read_current` resolves each
+        key to its newest version. Nothing is rewritten — an upsert of k
+        rows costs O(k) writes whatever the table size, which is the only
+        shape that works when the table is 100 TB and the delta is not.
+        Contract: one row per key within a single upsert (enforced
+        downstream by the latest-wins window, but two same-key rows in ONE
+        snapshot have no defined order)."""
+        return self.write_snapshot(
+            df.withColumn(self._OP, F.lit("U")),
+            key_cols,
+            payload_col=payload_col,
+            watermark_col=watermark_col,
+        )
+
+    def delete(self, keys_df: DataFrame, key_cols: list[str]) -> int:
+        """Equality-delete: append a tombstone snapshot holding only the
+        key columns (``_op='D'``). Readers drop the key from the current
+        view; history before the delete is still time-travelable."""
+        return self.write_snapshot(
+            keys_df.select(*key_cols).withColumn(self._OP, F.lit("D")),
+            key_cols,
+        )
+
+    def read_current(
+        self,
+        spark: SparkSession,
+        key_cols: list[str],
+        as_of_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Latest-wins view: per key, the row from the highest committed
+        snapshot id <= ``as_of_snapshot`` (all, when None), with tombstoned
+        keys removed. Plain-append snapshots (written before any upsert,
+        no ``_op`` column) read as upserts via mergeSchema + coalesce.
+
+        One hash exchange on the keys + a map-side WindowGroupLimit (the
+        Spark 4 row_number()<=1 rewrite) — no join, no second shuffle."""
+        from pyspark.sql import Window
+
+        ids = self._committed_as_of(as_of_snapshot)
+        paths = [self._snap_path(self.data_dir, i) for i in ids]
+        data = (
+            spark.read.option("basePath", self.data_dir)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
+        if self._OP not in data.columns:
+            data = data.withColumn(self._OP, F.lit("U"))
+        data = data.withColumn(
+            self._OP, F.coalesce(F.col(self._OP), F.lit("U"))
+        )
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("snapshot_id").desc()
+        )
+        return (
+            data.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col(self._OP) != "D"))
+            .drop("_rn", self._OP)
+        )
+
+    def diff(
+        self,
+        spark: SparkSession,
+        key_cols: list[str],
+        from_snapshot: int | None,
+        to_snapshot: int,
+    ) -> DataFrame:
+        """CDC between two committed versions: one row per changed key with
+        ``change`` in ('I', 'U', 'D') — insert/update/delete of the CURRENT
+        view between ``from_snapshot`` (exclusive basis; None = empty
+        table) and ``to_snapshot``. Row equality is xxhash64 over all
+        payload columns, so an upsert that rewrites a key with identical
+        values is NOT reported. One full-outer join on the keys.
+        Contract: both versions share the payload schema — a column first
+        added between the two snapshots makes the older view's fingerprint
+        unresolvable (diff across an additive schema change is not
+        supported; diff within one schema era is)."""
+        new = self.read_current(spark, key_cols, to_snapshot)
+        payload_cols = [
+            c for c in new.columns
+            if c not in key_cols and c != "snapshot_id"
+        ]
+        fp = F.xxhash64(*[F.col(c) for c in payload_cols]) if payload_cols \
+            else F.lit(0)
+        b = new.select(*key_cols, fp.alias("_fp_b"))
+        if from_snapshot is None:
+            return b.select(*key_cols, F.lit("I").alias("change"))
+        old = self.read_current(spark, key_cols, from_snapshot)
+        a = old.select(*key_cols, fp.alias("_fp_a"))
+        j = a.join(b, key_cols, "full_outer")
+        return (
+            j.select(
+                *key_cols,
+                F.when(F.col("_fp_a").isNull(), "I")
+                .when(F.col("_fp_b").isNull(), "D")
+                .when(F.col("_fp_a") != F.col("_fp_b"), "U")
+                .alias("change"),
+            )
+            .where(F.col("change").isNotNull())
+        )
+
     def verify(self, spark: SparkSession, key_cols: list[str]) -> DataFrame:
         """Recompute lineage from the data and diff against the manifest —
         returns snapshots that disagree on rows or checksum (empty = intact).

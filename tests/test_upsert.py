@@ -1,0 +1,111 @@
+"""MERGE/upsert + equality-delete + CDC diff on the checkpoint table
+(Iceberg-v2 merge-on-read semantics over the plain-Parquet emulation —
+see sources/checkpoint.py module docstring)."""
+
+import pandas as pd
+import pytest
+
+from audio_feature_extraction_spark.sources.checkpoint import CheckpointTable
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return CheckpointTable(str(tmp_path / "utbl"))
+
+
+def _pdf(rows):
+    return pd.DataFrame(rows, columns=["k", "v"])
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(_pdf(rows))
+
+
+def _cur(tbl, spark, as_of=None):
+    return (
+        tbl.read_current(spark, ["k"], as_of_snapshot=as_of)
+        .select("k", "v")
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+
+def test_upsert_latest_wins_and_insert(spark, tbl):
+    tbl.upsert(_mk(spark, [("a", 1), ("b", 2), ("c", 3)]), ["k"])
+    tbl.upsert(_mk(spark, [("b", 20), ("d", 4)]), ["k"])  # update b, insert d
+    got = _cur(tbl, spark)
+    want = _pdf([("a", 1), ("b", 20), ("c", 3), ("d", 4)])
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_time_travel_sees_pre_upsert_state(spark, tbl):
+    s0 = tbl.upsert(_mk(spark, [("a", 1), ("b", 2)]), ["k"])
+    tbl.upsert(_mk(spark, [("b", 20)]), ["k"])
+    got = _cur(tbl, spark, as_of=s0)
+    pd.testing.assert_frame_equal(got, _pdf([("a", 1), ("b", 2)]))
+
+
+def test_equality_delete_tombstone(spark, tbl):
+    tbl.upsert(_mk(spark, [("a", 1), ("b", 2), ("c", 3)]), ["k"])
+    sd = tbl.delete(_mk(spark, [("b", 0)]), ["k"])
+    got = _cur(tbl, spark)
+    pd.testing.assert_frame_equal(got, _pdf([("a", 1), ("c", 3)]))
+    # history before the delete still travels
+    pre = _cur(tbl, spark, as_of=sd - 1)
+    pd.testing.assert_frame_equal(pre, _pdf([("a", 1), ("b", 2), ("c", 3)]))
+    # re-inserting after a delete resurrects the key
+    tbl.upsert(_mk(spark, [("b", 99)]), ["k"])
+    back = _cur(tbl, spark)
+    pd.testing.assert_frame_equal(
+        back, _pdf([("a", 1), ("b", 99), ("c", 3)])
+    )
+
+
+def test_plain_append_snapshots_read_as_upserts(spark, tbl):
+    # a table that started life append-only (no _op column) upgrades in place
+    tbl.write_snapshot(_mk(spark, [("a", 1), ("b", 2)]), ["k"])
+    tbl.upsert(_mk(spark, [("a", 10)]), ["k"])
+    got = _cur(tbl, spark)
+    pd.testing.assert_frame_equal(got, _pdf([("a", 10), ("b", 2)]))
+
+
+def test_diff_classifies_insert_update_delete(spark, tbl):
+    s0 = tbl.upsert(_mk(spark, [("a", 1), ("b", 2), ("c", 3), ("e", 5)]),
+                    ["k"])
+    tbl.upsert(_mk(spark, [("b", 20), ("d", 4), ("e", 5)]), ["k"])
+    s2 = tbl.delete(_mk(spark, [("c", 0)]), ["k"])
+    d = (
+        tbl.diff(spark, ["k"], s0, s2)
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # e rewritten with IDENTICAL payload -> not reported; a untouched
+    want = pd.DataFrame(
+        {"k": ["b", "c", "d"], "change": ["U", "D", "I"]}
+    )
+    pd.testing.assert_frame_equal(d, want)
+
+
+def test_diff_from_empty_is_all_inserts(spark, tbl):
+    s0 = tbl.upsert(_mk(spark, [("a", 1), ("b", 2)]), ["k"])
+    d = tbl.diff(spark, ["k"], None, s0).toPandas()
+    assert sorted(d.k) == ["a", "b"]
+    assert (d.change == "I").all()
+
+
+def test_read_current_plan_single_exchange(spark, tbl):
+    """The latest-wins view is one hash exchange + map-side
+    WindowGroupLimit — no join, no second shuffle."""
+    tbl.upsert(_mk(spark, [("a", 1), ("b", 2)]), ["k"])
+    tbl.upsert(_mk(spark, [("b", 20)]), ["k"])
+    plan = (
+        tbl.read_current(spark, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
