@@ -221,6 +221,13 @@ class CheckpointTable:
         from pyspark.sql import Window
 
         ids = self._committed_as_of(as_of_snapshot)
+        base = self.base_snapshot()
+        if base is not None and base in ids:
+            # the compaction snapshot holds the full state as of base:
+            # everything earlier is redundant for this read (and may
+            # already be expired). as_of BEFORE the base keeps all ids —
+            # pre-base time travel works until expire_snapshots().
+            ids = [i for i in ids if i >= base]
         paths = [self._snap_path(self.data_dir, i) for i in ids]
         data = (
             spark.read.option("basePath", self.data_dir)
@@ -281,6 +288,59 @@ class CheckpointTable:
             )
             .where(F.col("change").isNotNull())
         )
+
+    # --------------------------------------------------- compaction/expiry
+
+    def _base_path(self) -> str:
+        return os.path.join(self.base, "base_snapshot")
+
+    def base_snapshot(self) -> int | None:
+        """Newest committed compaction baseline, or None. Reads at or after
+        the base prune every earlier snapshot; time travel BEFORE the base
+        still works until :meth:`expire_snapshots` reclaims those dirs."""
+        p = self._base_path()
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def compact(self, spark: SparkSession, key_cols: list[str]) -> int:
+        """Squash history: write the whole CURRENT view (latest-wins,
+        tombstones applied) as one snapshot and mark it as the read
+        baseline — the Iceberg rewrite_data_files + new-base analog, the
+        answer to merge-on-read's ever-growing snapshot chain and the
+        small-files problem. Readers then touch ONE snapshot's files
+        instead of N; logical contents are bit-identical (tested).
+
+        Crash-safe by ordering: the marker is written only after the
+        compaction snapshot commits. A crash before the marker leaves a
+        redundant (but harmless) upsert snapshot — every key resolves to
+        identical values through the ordinary latest-wins window."""
+        cur = self.read_current(spark, key_cols).drop("snapshot_id")
+        sid = self.upsert(cur, key_cols)
+        tmp = self._base_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, self._base_path())
+        return sid
+
+    def expire_snapshots(self) -> list[int]:
+        """Physically delete data+manifest dirs older than the base
+        snapshot (Iceberg expire_snapshots): reclaims space, destroys time
+        travel before the base — call only when history is no longer
+        needed. Returns the dropped snapshot ids."""
+        base = self.base_snapshot()
+        if base is None:
+            return []
+        dropped = []
+        for sid in self._ids(self.data_dir):
+            if sid < base:
+                shutil.rmtree(self._snap_path(self.data_dir, sid))
+                d = self._snap_path(self.manifest_dir, sid)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                dropped.append(sid)
+        return dropped
 
     def verify(self, spark: SparkSession, key_cols: list[str]) -> DataFrame:
         """Recompute lineage from the data and diff against the manifest —

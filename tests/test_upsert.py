@@ -109,3 +109,62 @@ def test_read_current_plan_single_exchange(spark, tbl):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "WindowGroupLimit" in plan
     assert "Join" not in plan
+
+
+def test_compact_preserves_current_view_and_prunes(spark, tbl):
+    import os
+
+    tbl.upsert(_mk(spark, [("a", 1), ("b", 2), ("c", 3)]), ["k"])
+    tbl.upsert(_mk(spark, [("b", 20), ("d", 4)]), ["k"])
+    tbl.delete(_mk(spark, [("c", 0)]), ["k"])
+    before = _cur(tbl, spark)
+    base = tbl.compact(spark, ["k"])
+    assert tbl.base_snapshot() == base
+    after = _cur(tbl, spark)
+    pd.testing.assert_frame_equal(before, after)
+    # pre-base time travel still works before expiry
+    pre = _cur(tbl, spark, as_of=0)
+    pd.testing.assert_frame_equal(pre, _pdf([("a", 1), ("b", 2), ("c", 3)]))
+    # expiry reclaims the old dirs; current view unchanged
+    dropped = tbl.expire_snapshots()
+    assert dropped == [0, 1, 2]
+    assert tbl.committed_snapshots() == [base]
+    pd.testing.assert_frame_equal(_cur(tbl, spark), before)
+    assert not os.path.isdir(tbl._snap_path(tbl.data_dir, 0))
+
+
+def test_compact_crash_before_marker_is_harmless(spark, tbl, monkeypatch):
+    """A crash between the compaction snapshot commit and the base-marker
+    write must leave a fully correct table (redundant snapshot only)."""
+    tbl.upsert(_mk(spark, [("a", 1), ("b", 2)]), ["k"])
+    tbl.upsert(_mk(spark, [("b", 20)]), ["k"])
+    before = _cur(tbl, spark)
+
+    import os
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise RuntimeError("crash before marker")
+
+    monkeypatch.setattr(os, "replace", boom)
+    try:
+        tbl.compact(spark, ["k"])
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert tbl.base_snapshot() is None  # marker never landed
+    pd.testing.assert_frame_equal(_cur(tbl, spark), before)
+    # a retried compaction completes normally
+    base = tbl.compact(spark, ["k"])
+    assert tbl.base_snapshot() == base
+    pd.testing.assert_frame_equal(_cur(tbl, spark), before)
+
+
+def test_upsert_after_compact_wins_over_base(spark, tbl):
+    tbl.upsert(_mk(spark, [("a", 1), ("b", 2)]), ["k"])
+    tbl.compact(spark, ["k"])
+    tbl.expire_snapshots()
+    tbl.upsert(_mk(spark, [("a", 10)]), ["k"])
+    got = _cur(tbl, spark)
+    pd.testing.assert_frame_equal(got, _pdf([("a", 10), ("b", 2)]))
