@@ -509,3 +509,130 @@ SELECT user_id, n,
   END AS r2
 FROM a
 """
+
+
+# --------------------------------------------------------------------------
+# distribution drift (PSI) between two time periods
+# --------------------------------------------------------------------------
+
+# Fixed bin spec shared by the Spark query and the oracle: underflow,
+# 10 x width-50 over [0, 500), overflow. Proportions are epsilon-clamped
+# (classic PSI convention) so empty bins contribute finitely.
+_PSI_BINS: list[tuple[float | None, float | None]] = (
+    [(None, 0.0)]
+    + [(50.0 * i, 50.0 * (i + 1)) for i in range(10)]
+    + [(500.0, None)]
+)
+_PSI_SPLIT = "2024-01-16"
+_PSI_EPS = "1e-6"
+
+
+def _q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report per event_type: value
+    distribution of the first half-month (reference) vs the second
+    (current) over fixed bins. The standard training-data drift gate —
+    PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted.
+
+    Engine-parity design: all 24 bin counts come from ONE groupBy
+    (conditional sums, single shuffle); the PSI is an explicit fixed-order
+    sum of the 12 per-bin terms, so Spark and the oracle add the same
+    doubles in the same order (no float-agg reorder); the final value is
+    floor(x*1e6+0.5)/1e6 on both sides (PSI >= 0, so half-up floor is
+    exact and avoids the Spark-BigDecimal vs DuckDB-float ROUND split)."""
+    e = _t(spark, sf_dir, "events")
+    split = F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")
+
+    def pred(lo: float | None, hi: float | None):
+        if lo is None:
+            return F.col("value") < F.lit(hi)
+        if hi is None:
+            return F.col("value") >= F.lit(lo)
+        return (F.col("value") >= F.lit(lo)) & (F.col("value") < F.lit(hi))
+
+    aggs = [
+        F.sum(F.when(split, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~split, 1).otherwise(0)).alias("n_cur"),
+    ]
+    for j, (lo, hi) in enumerate(_PSI_BINS):
+        aggs.append(
+            F.sum(F.when(split & pred(lo, hi), 1).otherwise(0)).alias(f"r{j}")
+        )
+        aggs.append(
+            F.sum(F.when((~split) & pred(lo, hi), 1).otherwise(0)).alias(
+                f"c{j}"
+            )
+        )
+    g = e.groupBy("event_type").agg(*aggs)
+
+    eps = F.lit(float(_PSI_EPS))
+
+    def prop(cnt: str, n: str):
+        return F.greatest(
+            F.col(cnt).cast("double") / F.col(n).cast("double"), eps
+        )
+
+    psi = None
+    for j in range(len(_PSI_BINS)):
+        p, q = prop(f"r{j}", "n_ref"), prop(f"c{j}", "n_cur")
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else psi + term
+    return (
+        g.select(
+            "event_type",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            (F.floor(psi * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "psi"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_drift_psi() -> str:
+    def pred(lo: float | None, hi: float | None) -> str:
+        if lo is None:
+            return f"value < {hi}"
+        if hi is None:
+            return f"value >= {lo}"
+        return f"value >= {lo} AND value < {hi}"
+
+    cols = []
+    for j, (lo, hi) in enumerate(_PSI_BINS):
+        cols.append(
+            f"SUM(CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' AND {pred(lo, hi)}"
+            f" THEN 1 ELSE 0 END) AS r{j}"
+        )
+        cols.append(
+            f"SUM(CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}' AND "
+            f"{pred(lo, hi)} THEN 1 ELSE 0 END) AS c{j}"
+        )
+    terms = []
+    for j in range(len(_PSI_BINS)):
+        p = (
+            f"GREATEST(CAST(r{j} AS DOUBLE) / CAST(n_ref AS DOUBLE), "
+            f"{_PSI_EPS})"
+        )
+        q = (
+            f"GREATEST(CAST(c{j} AS DOUBLE) / CAST(n_cur AS DOUBLE), "
+            f"{_PSI_EPS})"
+        )
+        terms.append(f"(({p}) - ({q})) * ln(({p}) / ({q}))")
+    # left-assoc fixed-order sum, exactly the Spark expression's order
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = f"({psi}) + ({t})"
+    cols_sql = ",\n    ".join(cols)
+    return f"""
+WITH g AS (
+  SELECT event_type,
+    SUM(CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END) AS n_ref,
+    SUM(CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END) AS n_cur,
+    {cols_sql}
+  FROM events GROUP BY 1)
+SELECT event_type,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       FLOOR(({psi}) * 1e6 + 0.5) / 1e6 AS psi
+FROM g ORDER BY 1
+"""

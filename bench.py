@@ -78,6 +78,7 @@ HEADLINE = [
     "cms_freq",
     "bloom_prune",
     "session_overlap",
+    "drift_psi",
 ]
 
 

@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 94
+PINNED_N = 95
 PINNED_CONTENT_SHA = (
-    "edad0fe54391c6303d01d0946cd0d7741e9009edce06b4005f368dfa460926ad"
+    "8514bf295e14cd74ec01ac41198eae45d75ea74a3105dc155140343894e07da5"
 )
 PINNED_SHA = (
-    "46404af6441e7a7286bf449f3648b56e1f032118724e46e8e2ffe0d104fddd63"
+    "80a3917bc6292ca42faf691678cd225613218fc2893839d4bc2147f1fb36538a"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",

@@ -563,3 +563,57 @@ def test_interval_overlap_join_exactly_once_vs_pandas(spark):
     gotset = set(map(tuple, got.values.tolist()))
     assert len(got) == len(gotset), "duplicate pair emitted"
     assert gotset == want
+
+
+def test_drift_psi_matches_independent_numpy(spark, tmp_path):
+    """Engine PSI == an independently-coded numpy PSI (same fixed bins /
+    split / epsilon convention) on synthetic drifted + stable types."""
+    from audio_feature_extraction_spark.queries.aggregates import (
+        _PSI_BINS,
+        _q_drift_psi,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # 'stable': same distribution both halves; 'shifted': mean jumps
+    for etype, mu_ref, mu_cur in [("stable", 100, 100), ("shifted", 80, 300)]:
+        for half, mu, t0 in [
+            ("ref", mu_ref, pd.Timestamp("2024-01-03")),
+            ("cur", mu_cur, pd.Timestamp("2024-01-20")),
+        ]:
+            v = rng.normal(mu, 40, 400)
+            ts = t0 + pd.to_timedelta(rng.integers(0, 86400 * 5, 400), "s")
+            for t, x in zip(ts, v):
+                rows.append((len(rows), t, 1, etype, float(x), "{}"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = _write_events(spark, tmp_path, pdf)
+    got = _q_drift_psi(spark, d).toPandas().set_index("event_type")
+
+    split = pd.Timestamp("2024-01-16")
+    eps = 1e-6
+    for etype, g in pdf.groupby("event_type"):
+        ref = g[g.ts < split].value.to_numpy()
+        cur = g[g.ts >= split].value.to_numpy()
+
+        def hist(v):
+            out = []
+            for lo, hi in _PSI_BINS:
+                m = np.ones(len(v), dtype=bool)
+                if lo is not None:
+                    m &= v >= lo
+                if hi is not None:
+                    m &= v < hi
+                out.append(m.sum())
+            return np.array(out, dtype=float)
+
+        p = np.maximum(hist(ref) / len(ref), eps)
+        q = np.maximum(hist(cur) / len(cur), eps)
+        want = float(np.sum((p - q) * np.log(p / q)))
+        have = got.loc[etype, "psi"]
+        assert abs(have - want) < 2e-6, (etype, have, want)
+        assert got.loc[etype, "n_ref"] == len(ref)
+    # and the qualitative read: shifted >> stable
+    assert got.loc["shifted", "psi"] > 0.25 > got.loc["stable", "psi"]
