@@ -263,6 +263,92 @@ def bloom_might_contain(
     return cur.select(*probe.columns, passed.alias(out))
 
 
+def qsketch_registers(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 512,
+) -> DataFrame:
+    """Mergeable quantile sketch: exact counts over ``n_bins`` equal-width
+    bins of the clamped domain [lo, hi) — (group_cols..., _bin, _cnt),
+    at most ``n_bins`` rows per group whatever the input size. Out-of-range
+    values clamp into the edge bins (the estimate degrades gracefully at
+    the tails instead of erroring). Linear sketch: disjoint-split merge is
+    union + per-bin SUM (:func:`qsketch_merge`), exactly additive.
+
+    This is the bounded-state answer to exact ``percentile()`` at 100 TB:
+    the exact version shuffles every distinct value; the sketch shuffles
+    ≤ n_bins integers per group, with worst-case absolute error
+    (hi-lo)/n_bins. Deterministic integer register math — any SQL engine
+    reproduces the estimate bit-for-bit."""
+    width = (hi - lo) / n_bins
+    b = F.floor((value.cast("double") - F.lit(lo)) / F.lit(width)).cast(
+        "int"
+    )
+    clamped = F.greatest(F.least(b, F.lit(n_bins - 1)), F.lit(0))
+    return (
+        df.select(*group_cols, clamped.alias("_bin"))
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+
+def qsketch_merge(
+    *register_frames: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Merge register tables from DISJOINT inputs: union + per-bin SUM."""
+    out = register_frames[0]
+    for f in register_frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy(*group_cols, "_bin").agg(
+        F.sum("_cnt").alias("_cnt")
+    )
+
+
+def qsketch_quantiles(
+    registers: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 512,
+) -> DataFrame:
+    """Fold a register table into one row per group with an estimated
+    quantile column ``q_<q>`` per requested q (0 < q <= 1): cumulative
+    bin counts + linear interpolation inside the crossing bin —
+    est = lo + width * (bin + (target - cum_before) / cnt) with
+    target = q * n. The crossing bin is the unique one with
+    ``cum - cnt < target <= cum`` (empty bins can never satisfy the
+    strict side), so the pick is a conditional agg, not a join.
+
+    Plan shape: ONE window pass (cum over bins, partitioned by group —
+    register frames are tiny) + one agg sharing the same partitioning."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = Window.partitionBy(*group_cols).orderBy("_bin")
+    r = registers.withColumn(
+        "_cum", F.sum("_cnt").over(w)
+    ).withColumn("_n", F.sum("_cnt").over(Window.partitionBy(*group_cols)))
+    aggs = []
+    for q in qs:
+        target = F.lit(q) * F.col("_n").cast("double")
+        crossing = (F.col("_cum").cast("double") >= target) & (
+            (F.col("_cum") - F.col("_cnt")).cast("double") < target
+        )
+        est = F.lit(lo) + F.lit(width) * (
+            F.col("_bin").cast("double")
+            + (target - (F.col("_cum") - F.col("_cnt")).cast("double"))
+            / F.col("_cnt").cast("double")
+        )
+        name = f"q_{str(q).replace('.', '_')}"
+        aggs.append(F.max(F.when(crossing, est)).alias(name))
+    return r.groupBy(*group_cols).agg(*aggs)
+
+
 def hll_merge(
     *register_frames: DataFrame,
     group_cols: list[str],

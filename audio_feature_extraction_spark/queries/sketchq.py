@@ -270,6 +270,85 @@ ORDER BY 1
 """
 
 
+_QS_LO, _QS_HI, _QS_BINS = 0.0, 600.0, 600
+
+
+def _q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bounded-state quantile estimates per event_type (q50/q90/
+    q99 from the 600-bin CDF sketch, worst-case error = bin width 1.0)
+    next to the exact p90 error — the 100 TB replacement for exact
+    percentile() (which shuffles every value; the sketch shuffles <= 600
+    ints per group). All outputs half-up-floored at 1e-6 on BOTH engines
+    (positive-or-negative-safe: the convention is ours, applied
+    identically)."""
+    e = _t(spark, sf_dir, "events")
+    regs = _SK.qsketch_registers(
+        e, F.col("value"), ["event_type"], _QS_LO, _QS_HI, _QS_BINS
+    )
+    est = _SK.qsketch_quantiles(
+        regs, ["event_type"], [0.5, 0.9, 0.99], _QS_LO, _QS_HI, _QS_BINS
+    )
+    exact = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.9)).alias("_p90")
+    )
+
+    def r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            r6(F.col("q_0_5")).alias("q50"),
+            r6(F.col("q_0_9")).alias("q90"),
+            r6(F.col("q_0_99")).alias("q99"),
+            r6(F.col("q_0_9") - F.col("_p90")).alias("err90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_approx_quantiles() -> str:
+    def est(q: str) -> str:
+        return (
+            f"MAX(CASE WHEN CAST(cum AS DOUBLE) >= {q} * CAST(n AS DOUBLE) "
+            f"AND CAST(cum - cnt AS DOUBLE) < {q} * CAST(n AS DOUBLE) "
+            f"THEN {_QS_LO} + {(_QS_HI - _QS_LO) / _QS_BINS} * "
+            f"(CAST(bin AS DOUBLE) + ({q} * CAST(n AS DOUBLE) "
+            f"- CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) END)"
+        )
+
+    width = (_QS_HI - _QS_LO) / _QS_BINS
+    return f"""
+WITH b AS (
+  SELECT event_type,
+    GREATEST(LEAST(CAST(FLOOR((value - {_QS_LO}) / {width}) AS INT),
+                   {_QS_BINS - 1}), 0) AS bin
+  FROM events),
+r AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin, cnt,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM r),
+e AS (
+  SELECT event_type,
+    {est('0.5')} AS q50r,
+    {est('0.9')} AS q90r,
+    {est('0.99')} AS q99r
+  FROM c GROUP BY 1),
+x AS (SELECT event_type, QUANTILE_CONT(value, 0.9) AS p90
+      FROM events GROUP BY 1)
+SELECT e.event_type,
+  FLOOR(q50r * 1e6 + 0.5) / 1e6 AS q50,
+  FLOOR(q90r * 1e6 + 0.5) / 1e6 AS q90,
+  FLOOR(q99r * 1e6 + 0.5) / 1e6 AS q99,
+  FLOOR((q90r - p90) * 1e6 + 0.5) / 1e6 AS err90
+FROM e JOIN x ON e.event_type = x.event_type
+ORDER BY 1
+"""
+
+
 def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew report on events.user_id: top-10 hottest keys with
     row share and hot-factor vs the mean key (operators/stats.py

@@ -79,6 +79,7 @@ HEADLINE = [
     "bloom_prune",
     "session_overlap",
     "drift_psi",
+    "approx_quantiles",
 ]
 
 

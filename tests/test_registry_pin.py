@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 95
+PINNED_N = 96
 PINNED_CONTENT_SHA = (
-    "8514bf295e14cd74ec01ac41198eae45d75ea74a3105dc155140343894e07da5"
+    "857d0a00bbb8c1deb52ac99f32152e0dd7013fca34ec509508d69f28ace392e7"
 )
 PINNED_SHA = (
-    "80a3917bc6292ca42faf691678cd225613218fc2893839d4bc2147f1fb36538a"
+    "9dd6eee76b9681c398e0ac04ef56b12d67140264e46f429633bbf2c3a552bef7"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",

@@ -617,3 +617,47 @@ def test_drift_psi_matches_independent_numpy(spark, tmp_path):
         assert got.loc[etype, "n_ref"] == len(ref)
     # and the qualitative read: shifted >> stable
     assert got.loc["shifted", "psi"] > 0.25 > got.loc["stable", "psi"]
+
+
+def test_qsketch_error_bound_and_merge(spark):
+    """Quantile sketch estimates are within one bin width of the true
+    quantile, and disjoint-split merge answers identically to one pass."""
+    from audio_feature_extraction_spark.operators.sketch import (
+        qsketch_merge,
+        qsketch_quantiles,
+        qsketch_registers,
+    )
+
+    lo, hi, n_bins = 0.0, 100.0, 200
+    width = (hi - lo) / n_bins
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        rng.normal(30, 10, 4000),
+        rng.exponential(15, 3000),
+        [-5.0, 250.0],  # clamped tails
+    ])
+    pdf = pd.DataFrame({"g": "a", "v": vals})
+    sdf = spark.createDataFrame(pdf)
+    qs = [0.5, 0.9, 0.99]
+    regs = qsketch_registers(sdf, F.col("v"), ["g"], lo, hi, n_bins)
+    one = qsketch_quantiles(regs, ["g"], qs, lo, hi, n_bins).toPandas()
+
+    clamped = np.clip(vals, lo, np.nextafter(hi, lo))
+    for q in qs:
+        col = f"q_{str(q).replace('.', '_')}"
+        true = np.quantile(clamped, q)
+        assert abs(one[col][0] - true) <= 2 * width, (q, one[col][0], true)
+
+    m = qsketch_merge(
+        qsketch_registers(
+            spark.createDataFrame(pdf.iloc[:3000]), F.col("v"), ["g"],
+            lo, hi, n_bins,
+        ),
+        qsketch_registers(
+            spark.createDataFrame(pdf.iloc[3000:]), F.col("v"), ["g"],
+            lo, hi, n_bins,
+        ),
+        group_cols=["g"],
+    )
+    two = qsketch_quantiles(m, ["g"], qs, lo, hi, n_bins).toPandas()
+    pd.testing.assert_frame_equal(one, two)
