@@ -342,6 +342,58 @@ class CheckpointTable:
                 dropped.append(sid)
         return dropped
 
+    def diff_rows(
+        self,
+        spark: SparkSession,
+        key_cols: list[str],
+        from_snapshot: int | None,
+        to_snapshot: int,
+    ) -> DataFrame:
+        """:meth:`diff` with payloads: (key_cols..., change, _old, _new)
+        where ``_old``/``_new`` are structs of the payload columns (NULL
+        on the missing side of an I/D). This is the input shape
+        incremental view maintenance needs — see
+        ``operators/ivm.py::incremental_group_agg``. Same schema-era
+        contract and same single full-outer join as :meth:`diff`."""
+        new = self.read_current(spark, key_cols, to_snapshot)
+        payload_cols = [
+            c for c in new.columns
+            if c not in key_cols and c != "snapshot_id"
+        ]
+        fp = F.xxhash64(*[F.col(c) for c in payload_cols]) if payload_cols \
+            else F.lit(0)
+        b = new.select(
+            *key_cols,
+            F.struct(*payload_cols).alias("_new"),
+            fp.alias("_fp_b"),
+        )
+        if from_snapshot is None:
+            return b.select(
+                *key_cols,
+                F.lit("I").alias("change"),
+                F.lit(None).cast(b.schema["_new"].dataType).alias("_old"),
+                "_new",
+            )
+        old = self.read_current(spark, key_cols, from_snapshot)
+        a = old.select(
+            *key_cols,
+            F.struct(*payload_cols).alias("_old"),
+            fp.alias("_fp_a"),
+        )
+        j = a.join(b, key_cols, "full_outer")
+        return (
+            j.select(
+                *key_cols,
+                F.when(F.col("_fp_a").isNull(), "I")
+                .when(F.col("_fp_b").isNull(), "D")
+                .when(F.col("_fp_a") != F.col("_fp_b"), "U")
+                .alias("change"),
+                "_old",
+                "_new",
+            )
+            .where(F.col("change").isNotNull())
+        )
+
     def verify(self, spark: SparkSession, key_cols: list[str]) -> DataFrame:
         """Recompute lineage from the data and diff against the manifest —
         returns snapshots that disagree on rows or checksum (empty = intact).

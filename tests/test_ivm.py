@@ -1,0 +1,93 @@
+"""Incremental view maintenance == recompute-from-scratch across a chain
+of upserts/deletes (operators/ivm.py + CheckpointTable.diff_rows)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from audio_feature_extraction_spark.operators.ivm import (
+    group_agg,
+    incremental_group_agg,
+)
+from audio_feature_extraction_spark.sources.checkpoint import CheckpointTable
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return CheckpointTable(str(tmp_path / "ivm_tbl"))
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "src", "val"])
+    )
+
+
+def _norm(pdf):
+    return pdf.sort_values("g").reset_index(drop=True)
+
+
+def test_ivm_matches_recompute_over_random_mutation_chain(spark, tbl):
+    rng = np.random.default_rng(21)
+    srcs = ["web", "book", "code"]
+
+    def rand_rows(keys):
+        return [
+            (int(k), srcs[int(rng.integers(0, 3))],
+             float(np.round(rng.normal(10, 5), 3)))
+            for k in keys
+        ]
+
+    s0 = tbl.upsert(_mk(spark, rand_rows(range(40))), ["k"])
+    view = group_agg(tbl.read_current(spark, ["k"], s0), "src", "val")
+    prev = s0
+    for step in range(4):
+        # mutate: update a random subset, insert fresh keys, delete some
+        upd = rand_rows(rng.choice(40, size=8, replace=False))
+        ins = rand_rows(range(100 + step * 10, 100 + step * 10 + 5))
+        tbl.upsert(_mk(spark, upd + ins), ["k"])
+        dels = [(int(k), "", 0.0)
+                for k in rng.choice(40, size=3, replace=False)]
+        cur = tbl.delete(_mk(spark, dels), ["k"])
+
+        cdc = tbl.diff_rows(spark, ["k"], prev, cur)
+        view = incremental_group_agg(view, cdc, "src", "val")
+
+        want = _norm(
+            group_agg(tbl.read_current(spark, ["k"], cur), "src", "val")
+            .toPandas()
+        )
+        got = _norm(view.toPandas())
+        pd.testing.assert_frame_equal(
+            got, want, check_exact=False, rtol=1e-12
+        )
+        prev = cur
+
+
+def test_ivm_group_migration_and_group_death(spark, tbl):
+    s0 = tbl.upsert(
+        _mk(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 30.0)]), ["k"]
+    )
+    view = group_agg(tbl.read_current(spark, ["k"], s0), "src", "val")
+    # move key 3 from group b to group a -> group b must DISAPPEAR
+    s1 = tbl.upsert(_mk(spark, [(3, "a", 30.0)]), ["k"])
+    cdc = tbl.diff_rows(spark, ["k"], s0, s1)
+    view = incremental_group_agg(view, cdc, "src", "val")
+    got = _norm(view.toPandas())
+    assert got.g.tolist() == ["a"]
+    assert got.n.tolist() == [3]
+    assert abs(got.s[0] - 33.0) < 1e-12
+
+
+def test_ivm_identical_rewrite_is_noop(spark, tbl):
+    s0 = tbl.upsert(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]), ["k"])
+    view = group_agg(tbl.read_current(spark, ["k"], s0), "src", "val")
+    s1 = tbl.upsert(_mk(spark, [(1, "a", 1.0)]), ["k"])  # same values
+    cdc = tbl.diff_rows(spark, ["k"], s0, s1)
+    assert cdc.count() == 0  # fingerprint-equal -> no CDC row
+    view = incremental_group_agg(view, cdc, "src", "val")
+    want = _norm(
+        group_agg(tbl.read_current(spark, ["k"], s1), "src", "val")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_norm(view.toPandas()), want)
