@@ -349,6 +349,87 @@ ORDER BY 1
 """
 
 
+_Z_BITS = 10
+_Z_BLOCK = 1024  # cells per storage block (file) in the layout model
+_Z_SEL = (40, 104, 128, 384)  # a in [40,104), b in [128,384)
+
+
+def _q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout pruning report: how many storage blocks a 2-D range query
+    (user band x minute-of-cycle band) must touch when events are laid
+    out LINEAR (sorted by user, block = user bucket) vs Z-ORDER
+    (operators/layout.py Morton interleave, block = 1024 consecutive
+    z-values = a 32x32 tile of the (user, minute) grid). Same rows
+    selected either way; the z layout touches the tiles the rectangle
+    crosses while the linear layout touches every user's block across
+    the whole time axis — the measured version of Delta/Iceberg
+    ZORDER BY. Pure integer column expressions, one aggregation."""
+    from audio_feature_extraction_spark.operators.layout import (
+        zorder_key_sql,
+    )
+
+    a_lo, a_hi, b_lo, b_hi = _Z_SEL
+    e = _t(spark, sf_dir, "events")
+    # CAST first: parquet may infer TIMESTAMP_NTZ, which unix_micros
+    # rejects (session is pinned UTC, so the reinterpretation is exact)
+    base = e.selectExpr(
+        "user_id % 1024 AS a",
+        "(unix_micros(CAST(ts AS TIMESTAMP)) div 60000000) % 1024 AS b",
+    )
+    k = base.selectExpr(
+        "a",
+        "b",
+        f"{zorder_key_sql('a', 'b', _Z_BITS)} div {_Z_BLOCK} AS zb",
+        "a AS lb",
+        f"a >= {a_lo} AND a < {a_hi} AND b >= {b_lo} AND b < {b_hi} AS sel",
+    )
+    g = k.agg(
+        F.count_distinct("lb").alias("lt"),
+        F.count_distinct(F.when(F.col("sel"), F.col("lb"))).alias("ltt"),
+        F.count_distinct("zb").alias("zt"),
+        F.count_distinct(F.when(F.col("sel"), F.col("zb"))).alias("ztt"),
+        F.sum(F.col("sel").cast("long")).alias("n"),
+    )
+    return g.selectExpr(
+        "stack(2, 'linear', lt, ltt, n, 'zorder', zt, ztt, n) "
+        "AS (layout, blocks_total, blocks_touched, rows_sel)"
+    ).orderBy("layout")
+
+
+def _sql_zorder_prune() -> str:
+    from audio_feature_extraction_spark.operators.layout import (
+        zorder_key_sql,
+    )
+
+    a_lo, a_hi, b_lo, b_hi = _Z_SEL
+    return f"""
+WITH base AS (
+  SELECT user_id % 1024 AS a,
+         (epoch_us(ts) // 60000000) % 1024 AS b
+  FROM events),
+k AS (
+  SELECT a, b,
+         {zorder_key_sql('a', 'b', _Z_BITS)} // {_Z_BLOCK} AS zb,
+         a AS lb,
+         (a >= {a_lo} AND a < {a_hi} AND b >= {b_lo} AND b < {b_hi}) AS sel
+  FROM base),
+g AS (
+  SELECT COUNT(DISTINCT lb) AS lt,
+         COUNT(DISTINCT CASE WHEN sel THEN lb END) AS ltt,
+         COUNT(DISTINCT zb) AS zt,
+         COUNT(DISTINCT CASE WHEN sel THEN zb END) AS ztt,
+         SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS n
+  FROM k)
+SELECT 'linear' AS layout, CAST(lt AS BIGINT) AS blocks_total,
+       CAST(ltt AS BIGINT) AS blocks_touched, CAST(n AS BIGINT) AS rows_sel
+FROM g
+UNION ALL
+SELECT 'zorder', CAST(zt AS BIGINT), CAST(ztt AS BIGINT), CAST(n AS BIGINT)
+FROM g
+ORDER BY 1
+"""
+
+
 def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew report on events.user_id: top-10 hottest keys with
     row share and hot-factor vs the mean key (operators/stats.py

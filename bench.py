@@ -80,6 +80,7 @@ HEADLINE = [
     "session_overlap",
     "drift_psi",
     "approx_quantiles",
+    "zorder_prune",
 ]
 
 

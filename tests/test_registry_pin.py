@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 96
+PINNED_N = 97
 PINNED_CONTENT_SHA = (
-    "857d0a00bbb8c1deb52ac99f32152e0dd7013fca34ec509508d69f28ace392e7"
+    "c09d663de0863b93f4c5add0b0bbbdc27f02348db7b8f1a2502ae02c3937f698"
 )
 PINNED_SHA = (
-    "9dd6eee76b9681c398e0ac04ef56b12d67140264e46f429633bbf2c3a552bef7"
+    "07b86e46b313c7db6ce4324ee821fce9fd5feb4d36b8dcda1fdb8bb559f5ea96"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",

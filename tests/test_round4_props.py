@@ -661,3 +661,31 @@ def test_qsketch_error_bound_and_merge(spark):
     )
     two = qsketch_quantiles(m, ["g"], qs, lo, hi, n_bins).toPandas()
     pd.testing.assert_frame_equal(one, two)
+
+
+def test_zorder_key_matches_independent_morton(spark):
+    """Engine z-key == an independently-coded python Morton interleave on
+    all edge values, and it is a bijection on the grid."""
+    from audio_feature_extraction_spark.operators.layout import zorder_key
+
+    bits = 6
+    grid = [(a, b) for a in range(0, 64, 7) for b in range(0, 64, 5)]
+    grid += [(0, 0), (63, 63), (0, 63), (63, 0)]
+    pdf = pd.DataFrame(grid, columns=["a", "b"])
+    got = (
+        spark.createDataFrame(pdf)
+        .withColumn("z", zorder_key("a", "b", bits))
+        .toPandas()
+    )
+
+    def morton(a, b):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for _, row in got.iterrows():
+        assert row.z == morton(int(row.a), int(row.b)), tuple(row)
+    # bijective: one z per distinct (a,b) pair
+    assert got.z.nunique() == got[["a", "b"]].drop_duplicates().shape[0]
