@@ -22,24 +22,30 @@ PINNED_CONTENT_SHA = (
     "c09d663de0863b93f4c5add0b0bbbdc27f02348db7b8f1a2502ae02c3937f698"
 )
 PINNED_SHA = (
-    "07b86e46b313c7db6ce4324ee821fce9fd5feb4d36b8dcda1fdb8bb559f5ea96"
+    "4026d35d7b506434c3d3f454a02d2220feffab4a7fb3f3bea9772637f3306ada"
 )
 PINNED_HEAD = [
-    "pipeline_features", "pricing_summary", "grouped_stats", "percentiles",
-    "delta9", "rolling_median", "savgol_smooth", "running_totals",
+    "pipeline_features", "pricing_summary", "grouped_stats",
+    "delta9", "savgol_smooth",
     "top1_per_group", "locf_fill", "sessionize", "asof_range_merge",
     "equi_join_fanout", "anti_join", "dedup_minhash_lsh", "dedup_exact",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "media_features",
+    "ann_cosine_topk", "media_features",
     "cube_report", "text_features", "dtw_band_cost", "dedup_clusters",
-    "band_join", "tumbling_counts", "binpack_assign", "time_range_stats",
+    "tumbling_counts", "binpack_assign", "time_range_stats",
     "doc_repetition", "contamination", "stratified_sample",
-    "length_buckets", "token_vocab", "packed_rollup",
     "session_token_stats", "windowed_dedup", "json_props",
     "ann_topk_arrow", "packed_tokens", "eval_sample",
     # never driver-hashed before r04 — rotated in to earn green rows
     "asof_nearest", "dedup_containment", "dedup_clusters_star",
     "unigram_surprisal", "top_ngrams_by_source", "trend_slope",
     "ann_recall", "bm25_scores", "tfidf_topterms", "trend_fit",
+    # late-r04 additions, rotated in for the r04 driver hash (the 9
+    # rotated out — percentiles, rolling_median, running_totals,
+    # ann_ivf/lsh_topk, band_join, length_buckets, token_vocab,
+    # packed_rollup — are driver-green in r01-r03)
+    "hll_distinct", "weighted_sample", "key_skew", "cms_freq",
+    "bloom_prune", "session_overlap", "drift_psi", "approx_quantiles",
+    "zorder_prune",
 ]
 
 
