@@ -194,3 +194,54 @@ def test_trend_slope_single_exchange(spark):
     plan = _plan(em.queries()["trend_slope"](spark, SF_DIR))
     keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(keys) == 1 and keys[0].startswith("user_id"), keys
+
+
+def test_bloom_prune_single_bounded_exchange(spark):
+    """The Bloom probe path must never shuffle the probe: ONE hash
+    exchange total (the bounded <=m_bits bit distinct), the bitset rides
+    a single-row BroadcastNestedLoopJoin (never CartesianProduct), and
+    the exact-flag join broadcasts."""
+    plan = (
+        em.queries()["bloom_prune"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_drift_psi_single_exchange(spark):
+    """All 24 PSI bin counts come from ONE conditional-sum groupBy: a
+    single event_type exchange, the fold is projection-only."""
+    plan = (
+        em.queries()["drift_psi"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_zorder_prune_single_exchange_no_join(spark):
+    """The layout report is one scan + one aggregation: a single
+    exchange, no join anywhere, interleave fully codegen'd."""
+    plan = (
+        em.queries()["zorder_prune"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_qsketch_quantile_windows_share_register_exchange(spark):
+    """qsketch_quantiles' cum-window + total-window + final agg must all
+    reuse the register frame's (group, _bin)-compatible partitioning:
+    exchanges appear only for the register build and the group-only
+    window/agg side — never more than 3 hash exchanges end to end."""
+    plan = (
+        em.queries()["approx_quantiles"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+    assert "CartesianProduct" not in plan
