@@ -324,6 +324,35 @@ class CheckpointTable:
         os.replace(tmp, self._base_path())
         return sid
 
+    def table_stats(self, spark: SparkSession) -> DataFrame:
+        """Maintenance report, one row per committed snapshot: data files,
+        bytes, manifest-recorded rows, payload and max watermark — the
+        numbers a compaction policy reads ("too many small files / too
+        long a merge-on-read chain → compact()"). File counts come from a
+        driver-side directory listing (metadata-only, like Iceberg's
+        manifests — never a data scan); rows/payload come from the
+        already-written manifests."""
+        rows = []
+        for sid in self.committed_snapshots():
+            d = self._snap_path(self.data_dir, sid)
+            files = [
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            ]
+            rows.append(
+                (sid, len(files), sum(os.path.getsize(f) for f in files))
+            )
+        listing = spark.createDataFrame(
+            rows, "snapshot_id int, n_files long, bytes long"
+        )
+        m = self.read_manifest(spark).groupBy("snapshot_id").agg(
+            F.sum("rows").cast("long").alias("rows"),
+            F.sum("payload").cast("long").alias("payload"),
+            F.max("watermark_ts").alias("watermark_ts"),
+        )
+        return listing.join(m, "snapshot_id", "left").orderBy("snapshot_id")
+
     def expire_snapshots(self) -> list[int]:
         """Physically delete data+manifest dirs older than the base
         snapshot (Iceberg expire_snapshots): reclaims space, destroys time

@@ -168,3 +168,19 @@ def test_upsert_after_compact_wins_over_base(spark, tbl):
     tbl.upsert(_mk(spark, [("a", 10)]), ["k"])
     got = _cur(tbl, spark)
     pd.testing.assert_frame_equal(got, _pdf([("a", 10), ("b", 2)]))
+
+
+def test_table_stats_reports_files_rows_and_shrinks_after_compaction(
+    spark, tbl
+):
+    tbl.upsert(_mk(spark, [("a", 1), ("b", 2), ("c", 3)]), ["k"])
+    tbl.upsert(_mk(spark, [("b", 20)]), ["k"])
+    stats = tbl.table_stats(spark).toPandas()
+    assert stats.snapshot_id.tolist() == [0, 1]
+    assert stats.rows.tolist() == [3, 1]
+    assert (stats.n_files > 0).all() and (stats.bytes > 0).all()
+    tbl.compact(spark, ["k"])
+    tbl.expire_snapshots()
+    after = tbl.table_stats(spark).toPandas()
+    assert len(after) == 1
+    assert after.rows[0] == 3  # the full current view, one snapshot
