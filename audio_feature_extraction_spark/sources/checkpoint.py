@@ -162,12 +162,48 @@ class CheckpointTable:
 
     # ------------------------------------------------------------- resume
 
-    def remaining(self, input_df: DataFrame, key_cols: list[str]) -> DataFrame:
-        """Input rows whose keys are not yet in any committed snapshot."""
+    def remaining(
+        self,
+        input_df: DataFrame,
+        key_cols: list[str],
+        input_min_ts: str | None = None,
+    ) -> DataFrame:
+        """Input rows whose keys are not yet in any committed snapshot.
+
+        ``input_min_ts`` (an ISO timestamp string) enables the manifest
+        watermark prune the module docstring promises: snapshots whose
+        recorded max event time (manifest ``watermark_ts``) is strictly
+        below the input's min event time are skipped ENTIRELY — their
+        data files are never opened, so a resume that appends a new day
+        anti-joins against the recent snapshots only, not the whole
+        table. Valid ONLY under the append-in-event-time-order contract
+        (keys of older event time were committed in older snapshots) —
+        the caller asserts that contract by passing the argument; without
+        it, every committed snapshot is read, which is always correct."""
+        spark = input_df.sparkSession
         try:
-            done = self.read(input_df.sparkSession).select(*key_cols).distinct()
+            ids = self._committed_as_of(None)
         except FileNotFoundError:
             return input_df
+        if input_min_ts is not None:
+            m = self.read_manifest(spark)
+            keep = {
+                r["snapshot_id"]
+                for r in m.groupBy("snapshot_id")
+                .agg(F.max("watermark_ts").alias("wm"))
+                .collect()
+                if r["wm"] is None or r["wm"] >= input_min_ts
+            }
+            ids = [i for i in ids if i in keep]
+            if not ids:
+                return input_df
+        paths = [self._snap_path(self.data_dir, i) for i in ids]
+        done = (
+            spark.read.option("basePath", self.data_dir)
+            .parquet(*paths)
+            .select(*key_cols)
+            .distinct()
+        )
         return input_df.join(done, on=key_cols, how="left_anti")
 
     # ------------------------------------------------------------- upsert

@@ -184,3 +184,58 @@ def test_table_stats_reports_files_rows_and_shrinks_after_compaction(
     after = tbl.table_stats(spark).toPandas()
     assert len(after) == 1
     assert after.rows[0] == 3  # the full current view, one snapshot
+
+
+def test_remaining_watermark_prune_skips_old_snapshots(spark, tmp_path):
+    """remaining(input_min_ts=...) must anti-join against ONLY the
+    snapshots whose manifest watermark reaches the input's time range —
+    proven by a key that lives in an old (pruned) snapshot surviving the
+    resume filter, while keys in kept snapshots still dedupe."""
+    from audio_feature_extraction_spark.sources.checkpoint import (
+        CheckpointTable,
+    )
+
+    t = CheckpointTable(str(tmp_path / "wm_tbl"))
+
+    def day(d, keys):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": keys,
+                    "ts": pd.Timestamp(f"2024-01-{d:02d} 12:00:00"),
+                    "v": 1.0,
+                }
+            )
+        )
+
+    t.write_snapshot(day(1, ["a", "b"]), ["k"], watermark_col="ts")
+    t.write_snapshot(day(10, ["c", "d"]), ["k"], watermark_col="ts")
+
+    inp = day(11, ["a", "c", "e"])  # a: only in the day-1 snapshot
+
+    # no prune hint: fully correct — both a and c dedupe
+    full = sorted(t.remaining(inp, ["k"]).toPandas().k)
+    assert full == ["e"]
+
+    # prune at 2024-01-05: the day-1 snapshot (watermark 01-01) is
+    # skipped entirely, so 'a' survives — evidence the old files were
+    # never consulted; 'c' (kept snapshot) still dedupes
+    pruned = sorted(
+        t.remaining(inp, ["k"], input_min_ts="2024-01-05")
+        .toPandas().k
+    )
+    assert pruned == ["a", "e"]
+
+    # prune threshold below every watermark: identical to the full path
+    all_kept = sorted(
+        t.remaining(inp, ["k"], input_min_ts="2023-12-01")
+        .toPandas().k
+    )
+    assert all_kept == ["e"]
+
+    # threshold above every watermark: nothing to join, input unchanged
+    none_kept = sorted(
+        t.remaining(inp, ["k"], input_min_ts="2025-01-01")
+        .toPandas().k
+    )
+    assert none_kept == ["a", "c", "e"]
