@@ -512,3 +512,104 @@ ranked AS (
   FROM scored)
 SELECT doc_id, term, tf, rank, tfidf FROM ranked WHERE rank <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# bigram language-model report (add-k conditional probabilities)
+# --------------------------------------------------------------------------
+
+_LM_K = 0.5  # add-k smoothing constant, identical literal on both engines
+
+
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM slice: for the 10 most frequent context words w1,
+    the top-3 continuations w2 with add-k smoothed conditional probability
+    P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V) — the counting core of n-gram
+    LM training / data-quality scoring over the documents corpus.
+
+    Shape: posexplode + per-doc lead window (one doc_id exchange, shared
+    with the existing text family), one (w1,w2) count exchange, context
+    totals re-aggregated FROM the bigram counts (tiny frame, not a second
+    corpus pass), vocabulary size as a broadcast single-row frame (BNLJ,
+    never CartesianProduct). Probabilities are exact-integer-count
+    arithmetic finished with the half-up floor at 1e-6; ties rank by
+    count desc then word asc on both engines."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        w.withColumn("w2", F.lead("w1").over(wd))
+        .where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cw = bi.groupBy("w1").agg(F.sum("c").cast("long").alias("cw"))
+    vocab = bi.agg(F.count_distinct("w2").alias("v"))
+    top_ctx = (
+        cw.withColumn(
+            "w1_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cw").desc(), "w1")
+            ),
+        )
+        .where(F.col("w1_rank") <= 10)
+    )
+    ranked = (
+        bi.join(F.broadcast(top_ctx), "w1")
+        .withColumn(
+            "w2_rank",
+            F.row_number().over(
+                Window.partitionBy("w1").orderBy(F.col("c").desc(), "w2")
+            ),
+        )
+        .where(F.col("w2_rank") <= 3)
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.col("c").cast("double") + F.lit(_LM_K)) / (
+        F.col("cw").cast("double") + F.lit(_LM_K) * F.col("v").cast("double")
+    )
+    return ranked.select(
+        "w1_rank",
+        "w1",
+        "w2_rank",
+        "w2",
+        F.col("c").cast("long").alias("c"),
+        (F.floor(p * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("p"),
+    ).orderBy("w1_rank", "w2_rank")
+
+
+_SQL_BIGRAM_LM = f"""
+WITH l AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w1
+      FROM l),
+pairs AS (
+  SELECT doc_id, w1,
+         LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM w),
+bi AS (SELECT w1, w2, COUNT(*) AS c FROM pairs WHERE w2 IS NOT NULL
+       GROUP BY 1, 2),
+cw AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw FROM bi GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM bi),
+top_ctx AS (
+  SELECT w1, cw,
+         ROW_NUMBER() OVER (ORDER BY cw DESC, w1) AS w1_rank
+  FROM cw),
+ranked AS (
+  SELECT t.w1_rank, b.w1, b.w2, b.c, t.cw,
+         ROW_NUMBER() OVER (PARTITION BY b.w1 ORDER BY b.c DESC, b.w2)
+           AS w2_rank
+  FROM bi b JOIN top_ctx t ON b.w1 = t.w1 AND t.w1_rank <= 10)
+SELECT CAST(w1_rank AS INT) AS w1_rank, w1,
+       CAST(w2_rank AS INT) AS w2_rank, w2,
+       CAST(c AS BIGINT) AS c,
+       FLOOR((CAST(c AS DOUBLE) + {_LM_K})
+             / (CAST(cw AS DOUBLE) + {_LM_K} * CAST(v AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS p
+FROM ranked CROSS JOIN vocab
+WHERE w2_rank <= 3
+ORDER BY 1, 3
+"""

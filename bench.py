@@ -81,6 +81,7 @@ HEADLINE = [
     "drift_psi",
     "approx_quantiles",
     "zorder_prune",
+    "bigram_lm",
 ]
 
 

@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 97
+PINNED_N = 98
 PINNED_CONTENT_SHA = (
-    "c09d663de0863b93f4c5add0b0bbbdc27f02348db7b8f1a2502ae02c3937f698"
+    "df5b9a3061dbbf9f678fc9ee50d72c116170228452ada942e2428976b59f097d"
 )
 PINNED_SHA = (
-    "4026d35d7b506434c3d3f454a02d2220feffab4a7fb3f3bea9772637f3306ada"
+    "dc8fe983ee270186fc879a531db48011ce218a6879534c0f4b7262f4d255e746"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats",

@@ -689,3 +689,56 @@ def test_zorder_key_matches_independent_morton(spark):
         assert row.z == morton(int(row.a), int(row.b)), tuple(row)
     # bijective: one z per distinct (a,b) pair
     assert got.z.nunique() == got[["a", "b"]].drop_duplicates().shape[0]
+
+
+def test_bigram_lm_matches_independent_counter(spark, tmp_path):
+    """bigram_lm == an independently-coded collections.Counter bigram LM
+    (same add-k formula) on a tiny synthetic corpus."""
+    from collections import Counter
+
+    from audio_feature_extraction_spark.queries.textq import (
+        _LM_K,
+        _q_bigram_lm,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat sat on the mat",
+                "the cat ran and the dog sat",
+                "a dog sat on a mat and the cat sat",
+            ],
+            "lang": "en",
+            "source": "t",
+            "n_chars": 0,
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = _q_bigram_lm(spark, str(tmp_path)).toPandas()
+
+    bi = Counter()
+    for t in docs.text:
+        ws = t.split(" ")
+        bi.update(zip(ws, ws[1:]))
+    cw = Counter()
+    for (w1, _), c in bi.items():
+        cw[w1] += c
+    v = len({w2 for (_, w2) in bi})
+    top10 = sorted(cw.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    for rank, (w1, tot) in enumerate(top10, 1):
+        conts = sorted(
+            ((w2, c) for (a, w2), c in bi.items() if a == w1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:3]
+        for r2, (w2, c) in enumerate(conts, 1):
+            row = got[(got.w1 == w1) & (got.w2 == w2)]
+            assert len(row) == 1, (w1, w2)
+            row = row.iloc[0]
+            assert (row.w1_rank, row.w2_rank, row.c) == (rank, r2, c)
+            want_p = (c + _LM_K) / (tot + _LM_K * v)
+            import math
+
+            assert abs(row.p - math.floor(want_p * 1e6 + 0.5) / 1e6) < 1e-12
