@@ -541,11 +541,15 @@ def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")
+    # persisted: three consumers (context totals, vocabulary, ranking)
+    # would otherwise each re-run the posexplode + window + count chain
+    # (same rationale as the dedup shingle frame, operators/dedup.py)
     bi = (
         w.withColumn("w2", F.lead("w1").over(wd))
         .where(F.col("w2").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     cw = bi.groupBy("w1").agg(F.sum("c").cast("long").alias("cw"))
     vocab = bi.agg(F.count_distinct("w2").alias("v"))
