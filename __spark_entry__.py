@@ -313,7 +313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "bm25_scores": _q_bm25_scores,
         "tfidf_topterms": _q_tfidf_topterms,
-        "trend_fit": _q_trend_fit,
+        # -- r05 rotation: bigram_lm (landed after the final r04
+        #    rotation, the one query never driver-hashed) enters the
+        #    head; trend_fit (driver-green r04, trend_slope canary
+        #    retained) moves to the tail. VERDICT r04 #1.
+        "bigram_lm": _q_bigram_lm,
         # -- late r04 additions, rotated in for the r04 driver hash ---
         "hll_distinct": _q_hll_distinct,
         "weighted_sample": _q_weighted_sample,
@@ -376,8 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _q_length_buckets,
         "token_vocab": _q_token_vocab,
         "packed_rollup": _q_packed_rollup,
-        # -- new post-rotation (tail; head rotation due r05) ---------------
-        "bigram_lm": _q_bigram_lm,
+        # -- rotated out in r05 (driver-green r04; trend_slope canary
+        #    stays in the head) --------------------------------------
+        "trend_fit": _q_trend_fit,
     }
 
 def oracle_sql() -> dict[str, str]:

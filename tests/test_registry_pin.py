@@ -22,7 +22,7 @@ PINNED_CONTENT_SHA = (
     "df5b9a3061dbbf9f678fc9ee50d72c116170228452ada942e2428976b59f097d"
 )
 PINNED_SHA = (
-    "dc8fe983ee270186fc879a531db48011ce218a6879534c0f4b7262f4d255e746"
+    "98018298e7815c1bffcb6d79da355b01f3dd34c152b2b5c448315d6f2f684eca"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats",
@@ -38,7 +38,10 @@ PINNED_HEAD = [
     # never driver-hashed before r04 — rotated in to earn green rows
     "asof_nearest", "dedup_containment", "dedup_clusters_star",
     "unigram_surprisal", "top_ngrams_by_source", "trend_slope",
-    "ann_recall", "bm25_scores", "tfidf_topterms", "trend_fit",
+    # r05 rotation: bigram_lm in (the one never-driver-hashed query,
+    # VERDICT r04 #1), trend_fit out (driver-green r04, trend_slope
+    # canary retained)
+    "ann_recall", "bm25_scores", "tfidf_topterms", "bigram_lm",
     # late-r04 additions, rotated in for the r04 driver hash (the 9
     # rotated out — percentiles, rolling_median, running_totals,
     # ann_ivf/lsh_topk, band_join, length_buckets, token_vocab,
