@@ -129,7 +129,15 @@ def ngram_jaccard_pairs(
     (measured ~22% of query wall at sf0.1; at 100 TB it is a full corpus
     re-read per consumer). persist() rather than localCheckpoint: lineage
     survives executor loss, blocks spill MEMORY_AND_DISK, and the
-    ContextCleaner drops them once the plan is unreferenced."""
+    ContextCleaner drops them once the plan is unreferenced.
+
+    Cache lifetime (caller-visible contract): the blocks stay resident
+    until the returned plan's references are garbage-collected — there is
+    no explicit unpersist here because the plan is returned LAZY and the
+    build cannot know when its consumers have run. A long-lived session
+    issuing many such plans should drop its references promptly (or call
+    ``spark.catalog.clearCache()`` between batches); blocks are
+    MEMORY_AND_DISK, so accumulation degrades to disk before it OOMs."""
     sh = shingles(df, id_col, text_col, n)
     if df_cap is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > df_cap)

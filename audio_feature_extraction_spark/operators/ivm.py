@@ -20,6 +20,19 @@ every append; this operator is the scale-correct replacement.
 Max/min are NOT self-maintainable under deletes (a retracted max needs a
 rescan of its group); this module deliberately covers the algebraic
 (count/sum) family only.
+
+Float drift & the re-baseline cadence contract: ``s`` is a running double
+maintained by ± deltas, so across many rounds it accumulates FP error
+relative to a recompute — catastrophically when a huge value is inserted
+then deleted (the sum cancels exactly in math, not in doubles).
+Counts (``n``) are exact longs and never drift. The contract: every N
+maintenance rounds (pick N by how much drift the consumer tolerates;
+the recompute is one scan of the base table) run
+:func:`drift_report` against :func:`group_agg` of the current base and,
+if any group exceeds tolerance, adopt the recomputed view
+(:func:`rebaseline`). For exactly-representable value domains (ints,
+scaled decimals) keep the value column DECIMAL upstream and drift is
+zero by construction.
 """
 
 from __future__ import annotations
@@ -80,3 +93,46 @@ def incremental_group_agg(
         ),
     )
     return merged.where(F.col("n") > 0)
+
+
+def drift_report(
+    view: DataFrame,
+    truth: DataFrame,
+    abs_tol: float = 1e-6,
+    rel_tol: float = 1e-9,
+) -> DataFrame:
+    """Groups where the maintained view disagrees with a fresh recompute
+    beyond ``|s_view - s_true| > abs_tol + rel_tol·|s_true|`` (or any
+    count/membership mismatch — counts are exact, so ANY ``n`` difference
+    is a bug, not drift). ``truth`` is :func:`group_agg` over the current
+    base table — the one scan the module docstring's cadence contract
+    budgets for. Empty result = the view is within tolerance; non-empty =
+    re-baseline now (see :func:`rebaseline`).
+
+    One full-outer join on the (small: one row per group) frames — the
+    check costs the recompute scan plus a broadcast-sized join, never a
+    second base scan."""
+    v = view.select(
+        "g", F.col("n").alias("n_view"), F.col("s").alias("s_view")
+    )
+    t = truth.select(
+        "g", F.col("n").alias("n_true"), F.col("s").alias("s_true")
+    )
+    j = v.join(t, "g", "full_outer")
+    s_err = F.abs(F.coalesce("s_view", F.lit(0.0)) - F.coalesce("s_true", F.lit(0.0)))
+    bad = (
+        F.col("n_view").isNull()
+        | F.col("n_true").isNull()
+        | (F.col("n_view") != F.col("n_true"))
+        | (s_err > F.lit(abs_tol) + F.lit(rel_tol) * F.abs(F.coalesce("s_true", F.lit(0.0))))
+    )
+    return j.where(bad).select(
+        "g", "n_view", "n_true", "s_view", "s_true", s_err.alias("s_abs_err")
+    )
+
+
+def rebaseline(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """The repair: adopt a fresh recompute as the new view. Alias of
+    :func:`group_agg`, named for the cadence contract's vocabulary — after
+    this, maintenance resumes from a drift-free (g, n, s) frame."""
+    return group_agg(df, group_col, value_col)

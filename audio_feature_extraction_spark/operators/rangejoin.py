@@ -26,6 +26,8 @@ def interval_overlap_join(
     right_end: str,
     bucket_sec: float = 21_600.0,
     extra_cond: Column | None = None,
+    max_fanout_per_row: int | None = 512,
+    on_excess: str = "raise",
 ) -> DataFrame:
     """All (left, right) row pairs whose CLOSED µs intervals overlap
     (``ls <= re AND rs <= le``), each pair emitted EXACTLY once — with one
@@ -34,8 +36,14 @@ def interval_overlap_join(
     Start/end columns are epoch-µs longs (caller converts via
     :func:`~audio_feature_extraction_spark.operators.timeutil.ts_micros`);
     ``end >= start`` is the caller's contract (session bounds satisfy it
-    by construction). Negative epochs are handled: bucketing uses the true
-    floor ``(us - pmod(us, w)) div w``, not truncating division.
+    by construction). The four start/end column NAMES must be distinct
+    across the two inputs (they are referenced unqualified in the join
+    condition — identical names would be ambiguous at resolution; this is
+    checked up front). Other column-name collisions between the inputs
+    survive the join but leave the OUTPUT ambiguous for downstream
+    selects — rename before joining if you need both. Negative epochs are
+    handled: bucketing uses the true floor ``(us - pmod(us, w)) div w``,
+    not truncating division.
 
     Shape: each interval explodes to the buckets it covers
     (``sequence`` is safe — hi >= lo by the contract), the join is a plain
@@ -48,11 +56,67 @@ def interval_overlap_join(
     per-bucket candidate quadratics (dense buckets / big buckets); skewed
     hot buckets split under AQE.
 
+    Fan-out guard: an interval spanning ``f`` buckets explodes to ``f``
+    rows, so a month-long interval at the default 6 h bucket costs ~120
+    rows — and a mis-sized bucket can silently multiply the input by
+    thousands. Unless ``max_fanout_per_row`` is None, plan build runs one
+    tiny two-column aggregate per side (max duration only — at any scale
+    this is a column-stats scan, the price of the guard) and, when
+    ``max(duration)/bucket > max_fanout_per_row``:
+
+    - ``on_excess='raise'`` (default) fails fast naming the offending
+      side and the bucket_sec that would fit, mirroring
+      ``similarity.collect_guarded``;
+    - ``on_excess='widen'`` auto-derives the smallest bucket that
+      respects the cap. Safe for correctness: the emitted PAIRS are
+      bucket-invariant (bucketing shapes the plan, never the result —
+      property-tested), only the fan-out/candidate-density trade moves.
+
     Reference analog: the alignment-window candidate pairing of
     `05_dtw_alignment_experiment/dtw_alignment.py:885-928`, generalized
     from point-in-band to interval-overlap.
     """
+    clash = ({left_start, left_end} & set(right.columns)) | (
+        {right_start, right_end} & set(left.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"interval_overlap_join start/end column names {sorted(clash)} "
+            "appear on BOTH inputs; the join condition references them "
+            "unqualified, so they must be distinct — rename one side "
+            "(e.g. .withColumnRenamed) before joining."
+        )
+    if on_excess not in ("raise", "widen"):
+        raise ValueError(f"on_excess must be 'raise' or 'widen', got {on_excess!r}")
     w = int(round(bucket_sec * 1_000_000))
+    if max_fanout_per_row is not None:
+        worst, worst_side = 0, ""
+        for side, df, s_col, e_col in (
+            ("left", left, left_start, left_end),
+            ("right", right, right_start, right_end),
+        ):
+            row = df.select(
+                F.max(F.col(e_col) - F.col(s_col)).alias("d")
+            ).first()
+            dur = row["d"] if row and row["d"] is not None else 0
+            if dur > worst:
+                worst, worst_side = dur, side
+        # an unaligned d-us interval covers at most d//w + 2 buckets
+        fanout = worst // w + 2
+        if fanout > max_fanout_per_row:
+            # ceil(d / (cap-2)) keeps the widened fan-out within the cap
+            fit_w = -(-worst // max(1, max_fanout_per_row - 2))
+            if on_excess == "raise":
+                raise ValueError(
+                    f"interval_overlap_join: the longest {worst_side} "
+                    f"interval ({worst} us) spans ~{fanout} buckets at "
+                    f"bucket_sec={bucket_sec}, exceeding "
+                    f"max_fanout_per_row={max_fanout_per_row}. Pass "
+                    f"bucket_sec>={fit_w / 1_000_000:.0f}, on_excess="
+                    f"'widen' to auto-derive it, or max_fanout_per_row="
+                    "None to skip the guard."
+                )
+            w = int(fit_w)
 
     def _bucket(col: str) -> F.Column:
         us = F.col(col)

@@ -170,7 +170,11 @@ class CheckpointTable:
     ) -> DataFrame:
         """Input rows whose keys are not yet in any committed snapshot.
 
-        ``input_min_ts`` (an ISO timestamp string) enables the manifest
+        ``input_min_ts`` (an ISO timestamp string — ``YYYY-MM-DD HH:MM:SS``
+        or the ``T``-separated form; both are normalized to the
+        space-separated shape Spark's timestamp cast produces before the
+        lexicographic compare, so a 'T' input can never out-sort every
+        stored watermark and wrongly prune) enables the manifest
         watermark prune the module docstring promises: snapshots whose
         recorded max event time (manifest ``watermark_ts``) is strictly
         below the input's min event time are skipped ENTIRELY — their
@@ -186,13 +190,14 @@ class CheckpointTable:
         except FileNotFoundError:
             return input_df
         if input_min_ts is not None:
+            min_ts = input_min_ts.replace("T", " ")
             m = self.read_manifest(spark)
             keep = {
                 r["snapshot_id"]
                 for r in m.groupBy("snapshot_id")
                 .agg(F.max("watermark_ts").alias("wm"))
                 .collect()
-                if r["wm"] is None or r["wm"] >= input_min_ts
+                if r["wm"] is None or r["wm"].replace("T", " ") >= min_ts
             }
             ids = [i for i in ids if i in keep]
             if not ids:

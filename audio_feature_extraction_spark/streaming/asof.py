@@ -119,7 +119,14 @@ def stream_asof_enrich_refreshing(
         if state["ref"] is None or state["calls"] % refresh_every == 0:
             ref = load_reference()
             assert not ref.isStreaming, "load_reference must return a bounded DataFrame"
-            state["ref"] = ref
+            # Materialize the snapshot NOW: load_reference() returns a lazy
+            # plan, and the as-of kernel re-collects its input every
+            # micro-batch — without an eager localCheckpoint, refresh_every>1
+            # would silently read LIVE source state on non-refresh triggers
+            # (breaking the 'up to N triggers stale' contract and risking a
+            # mid-rewrite dimension read). The previous round's checkpointed
+            # blocks are reclaimed by the ContextCleaner once unreferenced.
+            state["ref"] = ref.localCheckpoint(eager=True)
         state["calls"] += 1
         ref = state["ref"]
         rts = right_ts or left_ts

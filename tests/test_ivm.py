@@ -6,8 +6,10 @@ import pandas as pd
 import pytest
 
 from audio_feature_extraction_spark.operators.ivm import (
+    drift_report,
     group_agg,
     incremental_group_agg,
+    rebaseline,
 )
 from audio_feature_extraction_spark.sources.checkpoint import CheckpointTable
 
@@ -77,6 +79,38 @@ def test_ivm_group_migration_and_group_death(spark, tbl):
     assert got.g.tolist() == ["a"]
     assert got.n.tolist() == [3]
     assert abs(got.s[0] - 33.0) < 1e-12
+
+
+def test_ivm_float_drift_detected_and_rebaselined(spark, tbl):
+    """VERDICT r04 #4: adversarial magnitudes across rounds — inserting
+    then deleting a 1e16 value cancels exactly in math but not in doubles
+    (the small addends round away), so the maintained ``s`` drifts from a
+    recompute. drift_report must flag EXACTLY the drifted group (counts
+    stay exact), and rebaseline must clear it."""
+    s = tbl.upsert(
+        _mk(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 5.0)]), ["k"]
+    )
+    view = group_agg(tbl.read_current(spark, ["k"], s), "src", "val")
+    prev = s
+    for _ in range(3):  # many maintenance rounds, drift accumulates/persists
+        s1 = tbl.upsert(_mk(spark, [(99, "a", 1e16)]), ["k"])
+        view = incremental_group_agg(
+            view, tbl.diff_rows(spark, ["k"], prev, s1), "src", "val"
+        )
+        s2 = tbl.delete(_mk(spark, [(99, "", 0.0)]), ["k"])
+        view = incremental_group_agg(
+            view, tbl.diff_rows(spark, ["k"], s1, s2), "src", "val"
+        )
+        prev = s2
+
+    truth = group_agg(tbl.read_current(spark, ["k"], prev), "src", "val")
+    rep = _norm(drift_report(view, truth).toPandas())
+    assert rep.g.tolist() == ["a"]          # only the poisoned group drifts
+    assert (rep.n_view == rep.n_true).all()  # counts are exact longs
+    assert (rep.s_abs_err > 0.5).all()       # the 1e16 round-trip lost ~1.0
+
+    fresh = rebaseline(tbl.read_current(spark, ["k"], prev), "src", "val")
+    assert drift_report(fresh, truth).count() == 0
 
 
 def test_ivm_identical_rewrite_is_noop(spark, tbl):

@@ -436,6 +436,76 @@ def test_stream_asof_refreshing_picks_up_new_snapshot(spark, tiny_df, tmp_path):
     assert versions["n"] == len(per_epoch)
 
 
+def test_stream_asof_refreshing_pins_snapshot_between_refreshes(
+    spark, tiny_df, tmp_path
+):
+    """ADVICE r04: with refresh_every=2 the documented contract is 'up to
+    2 triggers stale' — the NON-refresh trigger must reuse the FROZEN
+    snapshot even when the live dimension source has been rewritten
+    underneath (the kernel re-collects its input per micro-batch, so
+    without an eager localCheckpoint it would read live state)."""
+    from audio_feature_extraction_spark.streaming.asof import (
+        stream_asof_enrich_refreshing,
+    )
+
+    seq, _ = tiny_df
+    src = str(tmp_path / "srcpin")
+    seq.select("doc_id", "ts", "n_tok", "value").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    dim = str(tmp_path / "dimpin")
+
+    def write_dim(version: int) -> None:
+        (
+            spark.read.parquet(src)
+            .select("doc_id").distinct()
+            .select(
+                "doc_id",
+                F.timestamp_seconds(F.lit(0)).alias("rts"),
+                F.lit(version).alias("dim_version"),
+            )
+            .write.mode("overwrite").parquet(dim)
+        )
+
+    write_dim(1)
+    state = {"v": 1}
+    per_epoch: dict[int, set] = {}
+
+    def write(df, epoch):
+        per_epoch.setdefault(epoch, set()).update(
+            df.toPandas().dim_version.dropna().astype(int).tolist()
+        )
+        # rewrite the LIVE dimension after every micro-batch
+        state["v"] += 1
+        write_dim(state["v"])
+
+    fb = stream_asof_enrich_refreshing(
+        load_reference=lambda: spark.read.parquet(dim),
+        write=write,
+        on=["doc_id"], left_ts="ts", right_ts="rts",
+        refresh_every=2,
+    )
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(per_epoch) == 3
+    seen = []
+    for epoch in sorted(per_epoch):
+        vs = per_epoch[epoch]
+        assert len(vs) == 1, (epoch, vs)
+        seen.append(next(iter(vs)))
+    # batch 0 refreshes (v1), batch 1 is pinned to v1 despite the live
+    # source now holding v2, batch 2 refreshes and sees v3
+    assert seen == [1, 1, 3], seen
+
+
 def test_stream_asof_refreshing_rejects_bad_args(spark):
     from audio_feature_extraction_spark.streaming.asof import (
         stream_asof_enrich_refreshing,

@@ -239,3 +239,50 @@ def test_remaining_watermark_prune_skips_old_snapshots(spark, tmp_path):
         .toPandas().k
     )
     assert none_kept == ["a", "c", "e"]
+
+
+def test_remaining_watermark_accepts_T_separated_iso(spark, tmp_path):
+    """ADVICE r04: stored watermarks are space-separated (Spark's timestamp
+    cast); a 'T'-separated input_min_ts must compare by TIME, not by
+    separator byte ('T' > ' ' would wrongly prune a same-day snapshot whose
+    watermark time-of-day is later than the input's)."""
+    from audio_feature_extraction_spark.sources.checkpoint import (
+        CheckpointTable,
+    )
+
+    t = CheckpointTable(str(tmp_path / "wmT_tbl"))
+    t.write_snapshot(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": ["a", "b"],
+                    "ts": pd.Timestamp("2024-01-01 12:00:00"),
+                    "v": 1.0,
+                }
+            )
+        ),
+        ["k"], watermark_col="ts",
+    )
+    inp = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "e"],
+                "ts": pd.Timestamp("2024-01-01 06:30:00"),
+                "v": 1.0,
+            }
+        )
+    )
+    # wm 12:00 >= input 06:00 -> the snapshot MUST be consulted; the raw
+    # byte compare ('2024-01-01 12..' < '2024-01-01T06..') would skip it
+    # and let the committed key 'a' back into the resume set
+    got = sorted(
+        t.remaining(inp, ["k"], input_min_ts="2024-01-01T06:00:00")
+        .toPandas().k
+    )
+    assert got == ["e"]
+    # space-separated form: identical behavior
+    got2 = sorted(
+        t.remaining(inp, ["k"], input_min_ts="2024-01-01 06:00:00")
+        .toPandas().k
+    )
+    assert got2 == ["e"]
