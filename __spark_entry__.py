@@ -136,7 +136,9 @@ from audio_feature_extraction_spark.queries.dedupq import (  # noqa: E501
     NGRAM_DF_CAP,
     _SQL_DEDUP_EXACT,
     _SQL_JACCARD_BASE,
+    _SQL_SUBSTRING_DEDUP,
     _SQL_WINDOWED_DEDUP,
+    _q_substring_dedup,
     _q_dedup_clusters,
     _q_dedup_clusters_star,
     _q_dedup_containment,
@@ -180,7 +182,9 @@ from audio_feature_extraction_spark.queries.similarityq import (  # noqa: E501
     _SQL_ANN_TOPK,
     _SQL_ANN_TOPK_ARROW,
     _SQL_FRAME_SAMPLE,
+    _q_ann_auto_topk,
     _q_ann_recall,
+    _q_ann_recall_fitted,
     _q_ann_topk,
     _q_ann_topk_arrow,
     _q_emb_neardup,
@@ -191,6 +195,7 @@ from audio_feature_extraction_spark.queries.similarityq import (  # noqa: E501
     _sql_ann_ivf,
     _sql_ann_lsh,
     _sql_ann_recall,
+    _sql_ann_recall_fitted,
     _sql_emb_neardup,
     _sql_media_features,
 )
@@ -302,12 +307,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_arrow": _q_ann_topk_arrow,
         "packed_tokens": _q_packed_tokens,
         "eval_sample": _q_eval_sample,
-        # -- never driver-hashed until r04: the 5 r03-tail queries ---------
-        "asof_nearest": _q_asof("window", direction="nearest"),
+        # -- never driver-hashed until r04: the r03-tail queries -----------
         "dedup_containment": _q_dedup_containment,
-        "dedup_clusters_star": _q_dedup_clusters_star,
-        "unigram_surprisal": _q_unigram_surprisal,
         "top_ngrams_by_source": _q_top_ngrams_by_source,
+        # -- new in r05 (never driver-hashed): rotated into the head in
+        #    place of asof_nearest / dedup_clusters_star / unigram_surprisal
+        #    (all driver-green r04; asof_range_merge, dedup_clusters and
+        #    doc_repetition/bm25 keep those families canaried) -------------
+        "substring_dedup": _q_substring_dedup,
+        "ann_recall_fitted": _q_ann_recall_fitted,
+        "ann_auto_topk": _q_ann_auto_topk,
         # -- new in r04 ----------------------------------------------------
         "trend_slope": _q_trend_slope,
         "ann_recall": _q_ann_recall,
@@ -383,6 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated out in r05 (driver-green r04; trend_slope canary
         #    stays in the head) --------------------------------------
         "trend_fit": _q_trend_fit,
+        "asof_nearest": _q_asof("window", direction="nearest"),
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "unigram_surprisal": _q_unigram_surprisal,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -485,4 +497,9 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantiles": _sql_approx_quantiles(),
         "zorder_prune": _sql_zorder_prune(),
         "bigram_lm": _SQL_BIGRAM_LM,
+        "substring_dedup": _SQL_SUBSTRING_DEDUP,
+        "ann_recall_fitted": _sql_ann_recall_fitted(),
+        # auto routes to IVF on this corpus (sampled kth-cos ~0.3 < 0.75),
+        # so the IVF SQL IS the oracle — a routing regression hash-fails
+        "ann_auto_topk": _sql_ann_ivf(),
     }

@@ -89,6 +89,108 @@ def shingles(
     return res.distinct() if distinct else res
 
 
+def positioned_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    out: str = "shingle",
+) -> DataFrame:
+    """(id, pos, shingle) with ``pos`` = 0-based start-token index — the
+    position-keeping twin of :func:`shingles` (same codegen posexplode +
+    lead-window plan, one hash(id) exchange, NO distinct: each token
+    position contributes exactly one row by construction)."""
+    from pyspark.sql import Window
+
+    wdf = df.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("_i", "_w0")
+    )
+    win = Window.partitionBy(id_col).orderBy("_i")
+    g = wdf.select(
+        F.col(id_col),
+        "_i",
+        "_w0",
+        *[F.lead("_w0", j).over(win).alias(f"_w{j}") for j in range(1, n)],
+    )
+    gram = F.concat_ws(" ", *[F.col(f"_w{j}") for j in range(n)])
+    return g.where(F.col(f"_w{n - 1}").isNotNull()).select(
+        F.col(id_col), F.col("_i").cast("long").alias("pos"), gram.alias(out)
+    )
+
+
+def duplicated_substring_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_span_tokens: int = 16,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Substring-level CROSS-document dedup (the Lee et al. 'Deduplicating
+    Training Data Makes Language Models Better' primitive, VERDICT r04 #7):
+    per document, the maximal token runs in which EVERY k-token shingle
+    also occurs in at least one OTHER document — the spans a suffix-array
+    dedup would cut. Returns
+    ``(id, run_start, run_end, n_shingles, span_tokens)`` with
+    ``span_tokens = run_end - run_start + k >= min_span_tokens``
+    (run_start/run_end are 0-based start-token indexes of the first/last
+    duplicated shingle; all values exact ints).
+
+    Suffix-array-free Spark shape: positioned k-shingles (codegen lead
+    window) → portable 60-bit hash → duplicated-hash set = one
+    groupBy(hash) keeping ``count(distinct id) >= 2`` (strictly
+    cross-document: within-doc repeats are `quality.doc_repetition`'s
+    job) → semi-join back → adjacent kept positions merge into maximal
+    runs via the pos − row_number islands trick (the per-id window reuses
+    the hash(id) partitioning the shingle window already produced). Two
+    shuffles total on top of the shingle build: the hash agg and the
+    semi-join back.
+
+    At 100 TB: the (id, pos, hash) frame is the same inverted-index shape
+    as the jaccard/containment family; ``df_cap`` drops hashes whose doc
+    frequency exceeds the cap (boilerplate floods carry dedup signal but
+    quadratic-join risk lives in the SEMI-join fan-in here, so the cap is
+    cheap insurance, not correctness); a hash collision (2^-60 per pair)
+    can only ADD a spurious shingle to the duplicated set.
+
+    No reference analog (the reference corpus is audio); this is the
+    training-data-pipeline operator from Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better' (ExactSubstr), re-shaped
+    from suffix arrays to the engine's inverted-index machinery."""
+    sh = positioned_shingles(df, id_col, text_col, k).select(
+        F.col(id_col),
+        "pos",
+        portable_word_hash(F.col("shingle")).alias("_h"),
+    )
+    dup = sh.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    dup = dup.where(
+        (F.col("_nd") >= 2)
+        & (F.lit(True) if df_cap is None else (F.col("_nd") <= df_cap))
+    )
+    kept = sh.join(dup.select("_h"), "_h", "left_semi")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy("pos")
+    runs = kept.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(win)
+    )
+    return (
+        runs.groupBy(F.col(id_col), F.col("_grp"))
+        .agg(
+            F.min("pos").alias("run_start"),
+            F.max("pos").alias("run_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .withColumn(
+            "span_tokens", F.col("run_end") - F.col("run_start") + F.lit(k)
+        )
+        .where(F.col("span_tokens") >= F.lit(min_span_tokens))
+        .drop("_grp")
+    )
+
+
 # ---------------------------------------------------------------- exact dedup
 
 

@@ -237,3 +237,39 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.join(sizes, "cluster_id").select(
         F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
     )
+
+
+SUBSTR_K, SUBSTR_MIN_SPAN = 8, 16
+
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring spans (Lee-et-al ExactSubstr,
+    VERDICT r04 #7): per doc, maximal token runs whose every 8-token
+    shingle also appears in ANOTHER document, spans >= 16 tokens. The
+    inverted-index shape of operators/dedup.duplicated_substring_runs;
+    all outputs exact ints, so the DuckDB gate is exact."""
+    return _D.duplicated_substring_runs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=SUBSTR_K, min_span_tokens=SUBSTR_MIN_SPAN,
+    )
+
+_SQL_SUBSTRING_DEDUP = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - {SUBSTR_K - 1}))
+          AS i FROM d),
+sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(w[i:i + {SUBSTR_K - 1}], ' ') AS s FROM idx),
+dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),
+runs AS (SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         FROM kept),
+agg AS (SELECT doc_id,
+          MIN(pos) AS run_start, MAX(pos) AS run_end,
+          COUNT(*) AS n_shingles,
+          MAX(pos) - MIN(pos) + {SUBSTR_K} AS span_tokens
+        FROM runs GROUP BY doc_id, grp)
+SELECT doc_id, run_start, run_end,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(span_tokens AS BIGINT) AS span_tokens
+FROM agg WHERE span_tokens >= {SUBSTR_MIN_SPAN}
+"""

@@ -334,3 +334,144 @@ SELECT g.method, g.query_id,
        CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / g.k AS recall_at_k
 FROM g LEFT JOIN h ON g.method = h.method AND g.query_id = h.query_id
 """
+
+
+# --------------------------------------------------------------------------
+# fitted IVF (VERDICT r04 #2) and routed ANN (VERDICT r04 #3)
+# --------------------------------------------------------------------------
+
+IVF_FIT_ROUNDS = 2
+
+def _q_ann_recall_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of IVF with DATA-FITTED centroids (2 Lloyd rounds on
+    Spark, operators/similarity.fit_ivf_centroids) against the brute-force
+    ground truth — closes the `_centroid_literals` docstring's 'at 100 TB
+    these are fitted' promise with real code, and lets the driver gate
+    prove the whole fit→assign→probe→re-rank chain against a DuckDB twin
+    that re-runs the SAME Lloyd rounds as unrolled CTEs. Same output shape
+    as ann_recall (method='ivf_fit')."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _S.fit_ivf_centroids(
+        emb, "embedding", n_cells=IVF_CELLS, dim=64, seed=IVF_SEED,
+        rounds=IVF_FIT_ROUNDS,
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    fit = _S.ivf_topk(
+        emb, queries, k=10, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
+        seed=IVF_SEED, centroids=cents,
+    )
+    gt = _q_ann_topk_arrow(spark, sf_dir).select("query_id", "neighbor_id")
+    base = gt.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    hits = (
+        fit.select("query_id", "neighbor_id")
+        .join(gt, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        F.lit("ivf_fit").alias("method"),
+        "query_id",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        (F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("k"))
+        .alias("recall_at_k"),
+    )
+
+
+def _sql_d(c_alias: str) -> str:
+    """-2·(v·c)+|c|² rank score — the distance the Spark literal path bakes."""
+    return (
+        f"-2.0 * list_sum(list_transform(list_zip(v.e, {c_alias}.c), "
+        f"x -> x[1]*x[2])) + list_sum(list_transform({c_alias}.c, x -> x*x))"
+    )
+
+
+def _sql_lloyd_ctes(rounds: int) -> str:
+    """Unrolled Lloyd CTE chain: c0 = the seeded literals; per round r,
+    a{r} = argmin assignment under c{r-1} (min(struct(d, cell)) — ties to
+    the lowest cell, exactly Spark's array_min struct order), u{r} = the
+    per-(cell,pos) mean ROUNDED to 6dp (absorbing summation-order noise on
+    both engines), c{r} = reassembled centroids with empty cells keeping
+    their previous value."""
+    cents = _S._centroid_literals(IVF_CELLS, 64, IVF_SEED)
+    c0 = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    ctes = [f"c0(cell, c) AS (VALUES {c0})"]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        ctes.append(f"""a{r} AS (
+  SELECT vec_id, e, min(struct_pack(d := d, c := cell)).c AS cell
+  FROM (SELECT v.vec_id, v.e, c.cell, {_sql_d('c')} AS d
+        FROM v CROSS JOIN {prev} c) s
+  GROUP BY vec_id, e)""")
+        ctes.append(f"""u{r} AS (
+  SELECT cell, pos, ROUND(AVG(e[pos + 1]), 6) AS cx
+  FROM a{r} CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+  GROUP BY cell, pos)""")
+        ctes.append(f"""c{r} AS (
+  SELECT {prev}.cell, COALESCE(u.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN (SELECT cell, list(cx ORDER BY pos) AS c
+                         FROM u{r} GROUP BY cell) u USING (cell))""")
+    return ",\n".join(ctes)
+
+
+def _sql_ann_recall_fitted() -> str:
+    cn = f"c{IVF_FIT_ROUNDS}"
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+{_sql_lloyd_ctes(IVF_FIT_ROUNDS)},
+corp AS (
+  SELECT vec_id AS neighbor_id, e,
+         min(struct_pack(d := d, c := cell)).c AS cell
+  FROM (SELECT v.vec_id, v.e, c.cell, {_sql_d('c')} AS d
+        FROM v CROSS JOIN {cn} c) s
+  GROUP BY vec_id, e),
+qp AS (SELECT vec_id, e, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       FROM (SELECT v.vec_id, v.e, c.cell, {_sql_d('c')} AS d
+             FROM v CROSS JOIN {cn} c WHERE v.vec_id < 10) s),
+q AS (SELECT vec_id AS query_id, e AS qe, cell FROM qp
+      WHERE rn <= {IVF_NPROBE}),
+scored AS (SELECT q.query_id, corp.neighbor_id,
+    list_sum(list_transform(list_zip(q.qe, corp.e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+       * sqrt(list_sum(list_transform(corp.e, x -> x * x)))) AS cos
+  FROM corp JOIN q ON corp.cell = q.cell
+  WHERE corp.neighbor_id != q.query_id),
+ranked AS (SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+      AS rank
+  FROM scored),
+fit AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10),
+gt AS ({_SQL_ANN_TOPK}),
+base AS (SELECT query_id, COUNT(*) AS k FROM gt GROUP BY 1),
+h AS (SELECT f.query_id, COUNT(*) AS n_hit
+      FROM fit f JOIN gt ON f.query_id = gt.query_id
+                        AND f.neighbor_id = gt.neighbor_id
+      GROUP BY 1)
+SELECT 'ivf_fit' AS method, base.query_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / base.k AS recall_at_k
+FROM base LEFT JOIN h ON base.query_id = h.query_id
+"""
+
+
+def _q_ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUTED ANN entry point end-to-end: approx_topk(method='auto')
+    samples the true k-th-neighbor cosine (≈0.3 on this corpus, far below
+    the 0.75 LSH regime floor) and deterministically routes to IVF — so
+    the oracle is the IVF SQL, and a routing regression (accidentally
+    serving LSH's 0.37-recall neighbors) is a driver-gate FAILURE, not a
+    silent quality loss. The steering warning is expected here and
+    suppressed (the query itself is the regime measurement)."""
+    import warnings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return _S.approx_topk(
+            emb, queries, k=10, method="auto",
+            n_cells=IVF_CELLS, nprobe=IVF_NPROBE, ivf_seed=IVF_SEED,
+        )

@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 98
+PINNED_N = 101
 PINNED_CONTENT_SHA = (
-    "df5b9a3061dbbf9f678fc9ee50d72c116170228452ada942e2428976b59f097d"
+    "8565074a5d350274639f4b7a4dcab7bd1a1f8f4e40523ba66226e59f7b211977"
 )
 PINNED_SHA = (
-    "98018298e7815c1bffcb6d79da355b01f3dd34c152b2b5c448315d6f2f684eca"
+    "0c28579acfa67e91f5378b324940a691dd0e9ae31ce6a56c36e34b35669a98c2"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats",
@@ -36,8 +36,11 @@ PINNED_HEAD = [
     "session_token_stats", "windowed_dedup", "json_props",
     "ann_topk_arrow", "packed_tokens", "eval_sample",
     # never driver-hashed before r04 — rotated in to earn green rows
-    "asof_nearest", "dedup_containment", "dedup_clusters_star",
-    "unigram_surprisal", "top_ngrams_by_source", "trend_slope",
+    "dedup_containment", "top_ngrams_by_source",
+    # new in r05: rotated in over asof_nearest / dedup_clusters_star /
+    # unigram_surprisal (driver-green r04, family canaries retained)
+    "substring_dedup", "ann_recall_fitted", "ann_auto_topk",
+    "trend_slope",
     # r05 rotation: bigram_lm in (the one never-driver-hashed query,
     # VERDICT r04 #1), trend_fit out (driver-green r04, trend_slope
     # canary retained)

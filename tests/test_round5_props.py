@@ -121,3 +121,235 @@ def test_interval_join_rejects_bad_on_excess(spark):
         interval_overlap_join(
             df, df2, "s1", "e1", "s2", "e2", on_excess="explode"
         )
+
+
+# ---------------------------------------------------------------- substring
+
+def test_substring_runs_recover_planted_spans(spark):
+    """Seeded planted substrings (VERDICT r04 #7 'done' bar): a 20-token
+    span shared by docs A and B at DIFFERENT offsets must come back as
+    exactly one maximal run per doc at the right positions; a doc that
+    repeats a span only WITHIN itself must not be flagged (cross-doc
+    semantics)."""
+    from audio_feature_extraction_spark.operators.dedup import (
+        duplicated_substring_runs,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(5000)]  # big vocab: no chance collisions
+
+    def rand_tokens(n):
+        return [vocab[i] for i in rng.integers(0, len(vocab), n)]
+
+    shared = rand_tokens(20)
+    inner = rand_tokens(12)
+    docs = [
+        # doc 0: shared span at token offset 5
+        (0, " ".join(rand_tokens(5) + shared + rand_tokens(7))),
+        # doc 1: the same span at offset 11
+        (1, " ".join(rand_tokens(11) + shared + rand_tokens(3))),
+        # doc 2: repeats ITS OWN 12-token span twice, shares nothing
+        (2, " ".join(inner + rand_tokens(4) + inner)),
+        # doc 3: pure noise
+        (3, " ".join(rand_tokens(40))),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = (
+        duplicated_substring_runs(df, "doc_id", "text", k=8, min_span_tokens=16)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # exactly the two planted spans, nothing else
+    assert got.doc_id.tolist() == [0, 1]
+    # doc 0: tokens 5..24 -> shingle starts 5..17 (last 8-gram starts at 17)
+    assert got.run_start.tolist() == [5, 11]
+    assert got.run_end.tolist() == [5 + 12, 11 + 12]
+    assert got.span_tokens.tolist() == [20, 20]
+    assert got.n_shingles.tolist() == [13, 13]
+
+
+def test_substring_runs_merge_adjacent_and_gap_split(spark):
+    """Two shared spans separated by a unique gap in the same doc must stay
+    two runs, not merge across the gap."""
+    from audio_feature_extraction_spark.operators.dedup import (
+        duplicated_substring_runs,
+    )
+
+    rng = np.random.default_rng(29)
+    vocab = [f"v{i}" for i in range(5000)]
+
+    def rand_tokens(n):
+        return [vocab[i] for i in rng.integers(0, len(vocab), n)]
+
+    s1, s2 = rand_tokens(18), rand_tokens(18)
+    docs = [
+        (0, " ".join(s1 + rand_tokens(10) + s2)),
+        (1, " ".join(s1)),
+        (2, " ".join(s2)),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = (
+        duplicated_substring_runs(df, "doc_id", "text", k=8, min_span_tokens=16)
+        .toPandas()
+        .sort_values(["doc_id", "run_start"])
+        .reset_index(drop=True)
+    )
+    d0 = got[got.doc_id == 0]
+    assert len(d0) == 2, got
+    assert d0.run_start.tolist() == [0, 28]
+    assert d0.span_tokens.tolist() == [18, 18]
+
+
+# ------------------------------------------------------------- fitted IVF
+
+def test_fit_ivf_centroids_partitioning_invariant(spark):
+    """The 6dp rounding contract: fitted centroids must be identical
+    whatever the input partitioning (summation-order noise absorbed)."""
+    from audio_feature_extraction_spark.operators.similarity import (
+        fit_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(300),
+            "embedding": [rng.normal(0, 1, 16).tolist() for _ in range(300)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    c1 = fit_ivf_centroids(df.repartition(1), "embedding", n_cells=4,
+                           dim=16, seed=5, rounds=2)
+    c2 = fit_ivf_centroids(df.repartition(13), "embedding", n_cells=4,
+                           dim=16, seed=5, rounds=2)
+    assert c1 == c2
+
+
+def test_fit_ivf_centroids_reduces_quantization_error(spark):
+    """Lloyd rounds must not make the coarse quantizer worse: mean squared
+    distance to the assigned centroid after fitting <= before (strict <
+    on gaussian data vs gaussian random centroids)."""
+    from audio_feature_extraction_spark.operators.similarity import (
+        _centroid_literals,
+        fit_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(37)
+    X = rng.normal(0, 1, (500, 16))
+    pdf = pd.DataFrame(
+        {"vec_id": range(500), "embedding": [x.tolist() for x in X]}
+    )
+    df = spark.createDataFrame(pdf)
+    fitted = fit_ivf_centroids(df, "embedding", n_cells=4, dim=16, seed=5,
+                               rounds=3)
+
+    def sse(cents):
+        C = np.array(cents)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return float(d.min(1).mean())
+
+    before = sse(_centroid_literals(4, 16, 5))
+    after = sse(fitted)
+    assert after < before, (before, after)
+
+
+def test_fit_ivf_empty_cells_keep_previous_centroid(spark):
+    """Fewer vectors than cells: the unpopulated cells must keep their
+    seed centroids (no NaNs, no drops)."""
+    from audio_feature_extraction_spark.operators.similarity import (
+        _centroid_literals,
+        fit_ivf_centroids,
+    )
+
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1], "embedding": [[1.0, 0.0], [0.9, 0.1]]}
+    )
+    df = spark.createDataFrame(pdf)
+    init = _centroid_literals(8, 2, 5)
+    fitted = fit_ivf_centroids(df, "embedding", n_cells=8, dim=2, seed=5,
+                               rounds=2)
+    assert len(fitted) == 8
+    changed = sum(1 for a, b in zip(init, fitted) if a != b)
+    assert 1 <= changed <= 2  # only the populated cell(s) moved
+    assert all(all(np.isfinite(x) for x in c) for c in fitted)
+
+
+# ----------------------------------------------------------------- routing
+
+def test_approx_topk_routes_low_cos_to_ivf_with_warning(spark):
+    """On a weak-neighbor corpus auto must serve the IVF result (row-equal)
+    and emit the steering warning (VERDICT r04 #3: the API actively steers
+    users off LSH in this regime)."""
+    import warnings
+
+    from audio_feature_extraction_spark.operators.similarity import (
+        approx_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(41)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(200),
+            "embedding": [rng.normal(0, 1, 64).tolist() for _ in range(200)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    q = df.where(F.col("vec_id") < 3)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        routed = approx_topk(df, q, k=5, method="auto").toPandas()
+    assert any("routing" in str(x.message) for x in w), [str(x.message) for x in w]
+    want = ivf_topk(df, q, k=5).toPandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        routed.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_approx_topk_routes_high_cos_to_lsh(spark):
+    """Planted near-duplicate clusters (kth-neighbor cos ~1): auto must
+    pick LSH (the regime it is actually good at) without warning."""
+    import warnings
+
+    from audio_feature_extraction_spark.operators.similarity import (
+        approx_topk,
+        lsh_bucketed_topk,
+    )
+
+    rng = np.random.default_rng(43)
+    base = rng.normal(0, 1, (3, 64))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(15):  # 15 copies per cluster -> kth(10) cos ~ 1
+            rows.append((vid, (b + rng.normal(0, 0.01, 64)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    q = df.where(F.col("vec_id") < 3)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        routed = approx_topk(df, q, k=10, method="auto").toPandas()
+    assert not any("routing" in str(x.message) for x in w)
+    want = lsh_bucketed_topk(df, q, k=10, n_tables=4).toPandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        routed.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_approx_topk_rejects_unknown_method(spark):
+    from audio_feature_extraction_spark.operators.similarity import (
+        approx_topk,
+    )
+
+    df = spark.range(1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="method"):
+        approx_topk(df, df, method="faiss")
