@@ -32,57 +32,22 @@ from tools.hostcond import HostWindow  # noqa: E402
 STEAL_THRESHOLD_PCT = 2.0
 MAX_PASSES = 3
 
-HEADLINE = [
-    "pricing_summary",
-    "grouped_stats",
-    "percentiles",
-    "sessionize",
-    "session_stats",
-    "locf_fill",
-    "delta9",
-    "rolling_stats",
-    "savgol_smooth",
-    "running_totals",
-    "asof_backward",
-    "asof_salted",
-    "asof_range_merge",
-    "asof_broadcast",
-    "equi_join_fanout",
-    "gauss_smooth",
-    "cube_report",
-    "vector_kernel_stats",
-    "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "text_features",
-    "pipeline_features",
-    "token_vocab",
-    "doc_repetition",
-    "contamination",
-    "packed_tokens",
-    "ann_topk_arrow",
-    # new in r03
-    "dtw_band_cost",
-    "dedup_clusters",
-    "dedup_containment",
-    "unigram_surprisal",
-    "top_ngrams_by_source",
-    # new in r04
-    "trend_slope",
-    "ann_recall",
-    "bm25_scores",
-    "tfidf_topterms",
-    "trend_fit",
-    "hll_distinct",
-    "weighted_sample",
-    "key_skew",
-    "cms_freq",
-    "bloom_prune",
-    "session_overlap",
-    "drift_psi",
-    "approx_quantiles",
-    "zorder_prune",
-    "bigram_lm",
-]
+# The headline IS the driver-gated head-50 (VERDICT r04 #6): derived from
+# the registry, not a hand-maintained copy, so the bench and correctness
+# sets coincide by construction — per-round comparisons never need a set
+# intersection again, and a rotation automatically re-points the bench.
+# (r04→r05 continuity: 36 of the 50 were in the r04 headline; the 12
+# dropped non-head legacy queries — percentiles, asof_backward/salted/
+# broadcast, session_stats, rolling_stats, running_totals, gauss_smooth,
+# vector_kernel_stats, token_vocab, unigram_surprisal, trend_fit — remain
+# check_entry-gated and coverable by pointing SPARK_GRAFT_BENCH_QUERIES at
+# them explicitly.)
+from tools.rotate_registry import HEAD_N  # noqa: E402
+
+HEADLINE = list(entry_mod.queries())[:HEAD_N]
+_extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+if _extra:
+    HEADLINE = [q.strip() for q in _extra.split(",") if q.strip()]
 
 
 def main() -> None:
@@ -154,11 +119,22 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     out = entry_mod._pipeline(spark, sf_dir)
-    hw_pipe = HostWindow().start()
-    t0 = time.time()
-    out.write.format("noop").mode("overwrite").save()
-    pipe_sec = time.time() - t0
-    pipe_cond = hw_pipe.stop()
+    # same noisy-window policy as the query loop (the r05 first run showed
+    # why: a 9.8%-steal window cut the headline tokens/s by a third): re-run
+    # on steal, keep the min, publish every window's condition
+    pipe_sec, pipe_conds = float("inf"), []
+    for _ in range(MAX_PASSES):
+        hw_pipe = HostWindow().start()
+        t0 = time.time()
+        out.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        cond = hw_pipe.stop()
+        cond["pipeline_sec"] = round(dt, 3)
+        pipe_conds.append(cond)
+        pipe_sec = min(pipe_sec, dt)
+        if cond["steal_pct"] <= STEAL_THRESHOLD_PCT:
+            break
+    pipe_cond = pipe_conds
     total_tokens = out.agg(F.sum(F.size("tokens"))).collect()[0][0] or 0
     tokens_per_sec = round(total_tokens / pipe_sec, 1) if pipe_sec > 0 else 0.0
 
