@@ -214,6 +214,44 @@ def hash_bucket(col: Column, buckets: int = 10_000) -> Column:
     ).cast("int")
 
 
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    buckets: int = 10_000,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the key's md5 hash-bucket
+    falls into cumulative fraction ranges (dict order = range order).
+    Pure projection — zero shuffles, reproducible on any engine and
+    partition layout, and STABLE UNDER CORPUS GROWTH: a document's split
+    never changes when other documents arrive or depart, the property
+    random splits lack and the one that keeps eval sets uncontaminated
+    across pipeline re-runs. Fractions are quantized to ``buckets`` like
+    :func:`stratified_sample` (round, not truncate); they must sum to 1
+    within one bucket's tolerance."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    cum, edges = 0.0, []
+    for name, frac in fractions.items():
+        cum += frac
+        edges.append((name, round(cum * buckets)))
+    if abs(edges[-1][1] - buckets) > 1:
+        raise ValueError(
+            f"fractions sum to {cum}, expected 1.0 (±1 bucket)"
+        )
+    edges[-1] = (edges[-1][0], buckets)  # close the range exactly
+    b = hash_bucket(F.col(key_col), buckets)
+    # chained WHEN in range order: each row takes the FIRST range whose
+    # upper edge exceeds its bucket (same CASE shape as the SQL oracle)
+    expr = None
+    for name, hi in edges:
+        cond = b < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn(out, expr)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -90,3 +90,42 @@ WITH ranked AS (
 SELECT source, CAST(draw_rank AS INT) AS draw_rank, doc_id, lang
 FROM ranked WHERE draw_rank <= 3
 """
+
+
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split report (quality.dataset_split):
+    md5-bucket range assignment — zero shuffles for the assignment itself,
+    stable under corpus growth (a doc's split never flips when other docs
+    arrive, the anti-contamination property random splits lack). One
+    groupBy(split) for the report: docs, total words, distinct sources."""
+    from pyspark.sql import functions as F
+
+    d = _Q.dataset_split(
+        _t(spark, sf_dir, "documents"), "doc_id", _SPLIT_FRACS
+    )
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_words"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+
+def _sql_dataset_split() -> str:
+    b = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS "
+        "BIGINT) % 10000"
+    )
+    edges, cum = [], 0.0
+    for name, frac in _SPLIT_FRACS.items():
+        cum += frac
+        edges.append((name, round(cum * 10000)))
+    edges[-1] = (edges[-1][0], 10000)
+    cases = " ".join(f"WHEN {b} < {hi} THEN '{name}'" for name, hi in edges)
+    return f"""
+SELECT CASE {cases} END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY 1
+"""

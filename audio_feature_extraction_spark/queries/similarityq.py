@@ -475,3 +475,53 @@ def _q_ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, queries, k=10, method="auto",
             n_cells=IVF_CELLS, nprobe=IVF_NPROBE, ivf_seed=IVF_SEED,
         )
+
+
+def _q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the modality composition the text side
+    already has — cosine_neardup_pairs (LSH-bucketed pair generation, exact
+    verify) feeding graph.connected_components, so keep-one-representative
+    dedup works over the embedding column exactly like the n-gram path.
+    Output: every vector (incl. planted dupes) with its cluster
+    representative and cluster size; singletons are their own cluster."""
+    from audio_feature_extraction_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = _emb_with_planted(spark, sf_dir)
+    pairs = _S.cosine_neardup_pairs(emb, threshold=NEARDUP_COS)
+    cc = connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cc.join(sizes, "cluster_id").select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _sql_emb_dedup_clusters() -> str:
+    """Reachability closure over the SAME verified pair set (the
+    dedup_clusters oracle shape, swapped onto the embedding pair SQL)."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_sql_emb_neardup()}) ep),
+v0 AS (SELECT vec_id FROM embeddings),
+nodes AS (SELECT vec_id AS node FROM v0
+          UNION ALL
+          SELECT vec_id + 100000 FROM v0 WHERE vec_id < {NEARDUP_PLANT}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst AS node, rc.r
+  FROM reach rc JOIN edges e ON e.src = rc.node),
+lab AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM lab GROUP BY 1)
+SELECT l.vec_id, l.cluster_id, s.cluster_size
+FROM lab l JOIN sizes s USING (cluster_id)
+"""

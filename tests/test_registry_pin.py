@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 101
+PINNED_N = 103
 PINNED_CONTENT_SHA = (
-    "8565074a5d350274639f4b7a4dcab7bd1a1f8f4e40523ba66226e59f7b211977"
+    "c8c83173a874246d9e60418df040dba65b727a17f1e4392302a900ce94226917"
 )
 PINNED_SHA = (
-    "0c28579acfa67e91f5378b324940a691dd0e9ae31ce6a56c36e34b35669a98c2"
+    "c84af90525322c840ed2f1f65ebe8a5afd7cb125ed70ae21f812d6ac3f305997"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats",
@@ -35,11 +35,11 @@ PINNED_HEAD = [
     "doc_repetition", "contamination", "stratified_sample",
     "session_token_stats", "windowed_dedup", "json_props",
     "ann_topk_arrow", "packed_tokens", "eval_sample",
-    # never driver-hashed before r04 — rotated in to earn green rows
-    "dedup_containment", "top_ngrams_by_source",
     # new in r05: rotated in over asof_nearest / dedup_clusters_star /
-    # unigram_surprisal (driver-green r04, family canaries retained)
+    # unigram_surprisal / dedup_containment / top_ngrams_by_source
+    # (driver-green r04, family canaries retained)
     "substring_dedup", "ann_recall_fitted", "ann_auto_topk",
+    "dataset_split", "emb_dedup_clusters",
     "trend_slope",
     # r05 rotation: bigram_lm in (the one never-driver-hashed query,
     # VERDICT r04 #1), trend_fit out (driver-green r04, trend_slope

@@ -353,3 +353,37 @@ def test_approx_topk_rejects_unknown_method(spark):
     )
     with pytest.raises(ValueError, match="method"):
         approx_topk(df, df, method="faiss")
+
+
+# ------------------------------------------------------------ dataset split
+
+def test_dataset_split_stable_under_growth(spark):
+    """The anti-contamination property: a doc's split assignment must not
+    change when the corpus doubles (hash-range assignment, not random)."""
+    from audio_feature_extraction_spark.operators.quality import (
+        dataset_split,
+    )
+
+    small = spark.range(100).select(F.col("id").alias("doc_id"))
+    big = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    a = dataset_split(small, "doc_id").toPandas().set_index("doc_id")["split"]
+    b = dataset_split(big, "doc_id").toPandas().set_index("doc_id")["split"]
+    assert (a == b.loc[a.index]).all()
+    # fractions roughly respected on the large corpus
+    frac = b.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+
+
+def test_dataset_split_covers_every_row_and_validates(spark):
+    from audio_feature_extraction_spark.operators.quality import (
+        dataset_split,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = dataset_split(df, "doc_id", {"a": 0.5, "b": 0.5}).toPandas()
+    assert out.split.notna().all()  # the last range is closed at `buckets`
+    assert set(out.split) == {"a", "b"}
+    with pytest.raises(ValueError, match="sum"):
+        dataset_split(df, "doc_id", {"a": 0.5, "b": 0.3})
