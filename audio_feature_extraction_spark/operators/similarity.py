@@ -191,11 +191,15 @@ def cosine_neardup_pairs(
 
 
 def _centroid_literals(n_cells: int, dim: int, seed: int) -> list[list[float]]:
-    """Deterministic coarse-quantizer centroids. At 100 TB these are the
-    k-means centroids fitted on a driver-side sample and baked into the plan
-    as literals; seeded gaussians here keep the plan (and the DuckDB oracle)
-    reproducible without a training pass. Same generator as the LSH
-    hyperplanes — one helper, one thing to keep in sync with the oracles."""
+    """Deterministic SYNTHETIC coarse-quantizer centroids — the
+    zero-training-pass baseline (same generator as the LSH hyperplanes).
+    Known limitation, measured r05: gaussian centroids' |c|² spread makes
+    the -2·v·c+|c|² argmin collapse assignments onto the few small-norm
+    centroids (3 of 16 cells populated on the benchmark corpus), so
+    'pruned' scans read most of the data and recall looks perfect for the
+    wrong reason. For real pruning fit with
+    :func:`fit_ivf_centroids(..., init='data')` — balanced cells, honest
+    recall curve published by the gated `ann_recall_fitted`."""
     return _plane_literals(n_cells, dim, seed)
 
 
@@ -236,6 +240,44 @@ def with_ivf_cell(
 FIT_ROUND_DECIMALS = 6
 
 
+def data_init_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> list[list[float]]:
+    """Deterministic data-point initial centroids: the ``n_cells`` vectors
+    whose portable md5 id-hash sorts lowest (cell i = i-th lowest hash) —
+    an engine-portable stand-in for k-means++ sampling. WHY data points:
+    seeded gaussian centroids have |c|² spread ~N(dim, 2·dim), and the
+    -2·v·c+|c|² argmin then hands almost every vector to the few
+    small-norm centroids — measured on the benchmark corpus: 3 of 16
+    cells populated, so nprobe=4 'pruning' was reading most of the data
+    and the perfect recall was an artifact. Data-point inits sit in the
+    data distribution: the same corpus balances to 24-41 vectors/cell.
+    One bounded job (sort + limit n_cells)."""
+    from audio_feature_extraction_spark.operators.dedup import (
+        portable_word_hash,
+    )
+
+    rows = (
+        corpus.select(
+            F.col(id_col),
+            _to_double(vec_col).alias("_v"),
+            portable_word_hash(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"data init needs at least n_cells={n_cells} corpus rows, "
+            f"got {len(rows)}"
+        )
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
 def fit_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -243,6 +285,8 @@ def fit_ivf_centroids(
     dim: int = 64,
     seed: int = 11,
     rounds: int = 2,
+    init: str = "seeded",
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Lloyd k-means on Spark (VERDICT r04 #2 — the fitting path the
     synthetic `_centroid_literals` docstring promised): starting from the
@@ -263,12 +307,22 @@ def fit_ivf_centroids(
     unless a mean sits within 5e-7 of a rounding boundary, so the DuckDB
     oracle's unrolled-CTE twin reproduces the fitted centroids exactly.
 
+    ``init='data'`` starts from :func:`data_init_centroids` (balanced
+    cells — see that docstring for why the seeded gaussians mis-balance);
+    ``init='seeded'`` keeps the synthetic start (the oracle-simplest
+    form, and the right A/B baseline).
+
     At 100 TB: pass a hash-sampled frame (the md5-bucket filter of
     `quality.stratified_sample`) — k-means needs a sample, not the corpus;
     the per-round cost is then one scan of the sample. Reference analog:
     the coarse→fine iterative refinement of
     `05_dtw_alignment_experiment/dtw_alignment.py:737-787`."""
-    cents = _centroid_literals(n_cells, dim, seed)
+    if init == "data":
+        cents = data_init_centroids(corpus, vec_col, id_col, n_cells)
+    elif init == "seeded":
+        cents = _centroid_literals(n_cells, dim, seed)
+    else:
+        raise ValueError(f"init must be 'seeded' or 'data', got {init!r}")
     v_sql = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     for _ in range(rounds):
         arr = _cell_structs_sql(v_sql, cents)
@@ -371,7 +425,9 @@ def lsh_bucketed_topk(
     16%. For the high-cos near-duplicate regime LSH is actually deployed on
     (cos ≥ 0.9, per-plane split prob arccos(.9)/π ≈ 0.14) per-table recall
     is already 0.86^planes and tables multiply toward 1. The gated
-    `ann_recall` query reports the measured number instead of assuming it.
+    `ann_recall` query reports the measured number instead of assuming it;
+    :func:`approx_topk` routes this regime to IVF (whose fitted-balanced
+    curve is 0.53@25% / 0.81@50% — `ann_recall_fitted`).
 
     Plan shape: ALL tables' buckets are computed in ONE projection and
     posexploded to (table_id, bucket) rows, so the corpus is scanned once
@@ -571,12 +627,18 @@ def approx_topk(
     - ``method='auto'`` samples the true k-th-neighbor cosine
       (:func:`estimate_topk_cos`) and routes: LSH only when the regime is
       high-similarity (median kth-cos >= ``LSH_MIN_REGIME_COS``), else IVF.
-      Measured on the benchmark corpus (kth-cos 0.24-0.49): IVF recall@10
-      = 1.00 at nprobe=4/16 cells scoring ~25% of the corpus; 4-table
-      multiprobe LSH = 0.37 at ~16% scored — LSH physically cannot find
-      weak neighbors (no hyperplane pattern separates cos≈0.3 pairs from
-      the bulk), so in that regime it is never the right index and the
-      router refuses it with a warning.
+      Measured on the benchmark corpus (kth-cos 0.24-0.49, the
+      weak-neighbor regime): 4-table multiprobe LSH recall@10 = 0.37 at
+      ~16% of the corpus scored — LSH physically cannot find weak
+      neighbors (no hyperplane pattern separates cos≈0.3 pairs from the
+      bulk), so in that regime it is never the right index and the router
+      refuses it with a warning. IVF with fitted+balanced cells measures
+      0.53 at nprobe=4 (~25% scored) and 0.81 at nprobe=8 (~50%) — the
+      gated `ann_recall_fitted` curve; the synthetic-literal default
+      reports 1.00 only because its gaussian centroids collapse to 3
+      populated cells and the 'pruned' scan reads most of the corpus.
+      At scale, pass ``centroids=fit_ivf_centroids(..., init='data')``
+      and pick nprobe from the published curve.
     - ``method='ivf'`` / ``method='lsh'`` force a path (the LSH force in a
       low-cos regime still warns — actively steering, never silent).
 
@@ -610,3 +672,75 @@ def approx_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, dim=dim, seed=lsh_seed, n_tables=n_tables,
     )
+
+
+# -------------------------------------------------------- partitioned index
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 11,
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """Materialize the IVF layout `ivf_topk`'s docstring promises at scale:
+    the corpus written as parquet PARTITIONED BY its coarse cell, so a
+    query batch's nprobe cells become Hive partition filters and the scan
+    reads nprobe/n_cells of the files — Spark-side partition pruning does
+    the index lookup, no custom reader. One shuffle (the partitioned
+    write's dynamic partitioning); serving reads are pruned forever after.
+    Pass :func:`fit_ivf_centroids` output for data-fitted cells (the same
+    centroids MUST then be used at probe time — bake them into the reader,
+    as :func:`read_ivf_candidates` does via its ``centroids`` arg)."""
+    with_ivf_cell(
+        corpus, vec_col, n_cells, dim, seed, out="cell", centroids=centroids
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def read_ivf_candidates(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 11,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Candidate scan against a :func:`write_ivf_index` layout: computes
+    the query batch's probed-cell union (bounded driver collect of the
+    tiny query side) and reads ONLY those ``cell=`` directories — pruning
+    by explicit path, the same snapshot-path style as
+    ``sources/checkpoint.py``, so the files of unprobed cells are never
+    even LISTED (a ``WHERE cell IN`` filter also partition-prunes, but
+    path-level reads make the guarantee visible to ``inputFiles()`` and
+    independent of pruning optimizer behavior). ``nprobe`` expands each
+    query's exact cell to its nprobe nearest (the standard IVF probe).
+    Returns the candidate rows with their ``cell`` column; exact re-rank
+    stays the caller's standard ``ivf_topk``-shaped window."""
+    if centroids is None:
+        centroids = _centroid_literals(n_cells, dim, seed)
+    arr = _cell_structs_sql(
+        f"CAST({vec_col} AS ARRAY<DOUBLE>)", centroids
+    )
+    probes = F.expr(f"transform(slice(array_sort({arr}), 1, {nprobe}), s -> s.c)")
+    qp = collect_guarded(
+        queries.select(F.explode(probes).alias("cell")).distinct(),
+        "query", "ivf_topk (non-materialized)", MAX_DRIVER_COLLECT_ROWS,
+    )
+    cells = sorted({int(c) for c in qp["cell"].tolist()})
+    paths = [f"{path}/cell={c}" for c in cells]
+    import os as _os
+
+    local = [p.replace("file:", "") for p in paths]
+    existing = [
+        p for p, lp in zip(paths, local) if _os.path.isdir(lp)
+    ] or None
+    if existing is None:
+        # every probed cell was empty at write time: empty frame, right schema
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.option("basePath", path).parquet(*existing)

@@ -19,10 +19,10 @@ from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
 PINNED_N = 103
 PINNED_CONTENT_SHA = (
-    "c8c83173a874246d9e60418df040dba65b727a17f1e4392302a900ce94226917"
+    "910e40a296279d14eca1df653aab6afcc867740702ed1a175119f866ce474100"
 )
 PINNED_SHA = (
-    "c84af90525322c840ed2f1f65ebe8a5afd7cb125ed70ae21f812d6ac3f305997"
+    "e0b677b05e222957be09c54e8ab386b48a70c497b034a7c4aa168012d8311fa7"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats",
