@@ -164,7 +164,9 @@ from audio_feature_extraction_spark.queries.textq import (  # noqa: E501
     _SQL_TOP_NGRAMS_BY_SOURCE,
     _SQL_UNIGRAM_SURPRISAL,
     _SQL_BIGRAM_LM,
+    _SQL_DOC_PERPLEXITY,
     _q_bigram_lm,
+    _q_doc_perplexity,
     _q_bm25_scores,
     _q_tfidf_topterms,
     _sql_bm25,
@@ -306,7 +308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "session_token_stats": _q_session_token_stats,
-        "windowed_dedup": _q_windowed_dedup,
         "json_props": _q_json_props,
         "ann_topk_arrow": _q_ann_topk_arrow,
         "packed_tokens": _q_packed_tokens,
@@ -321,6 +322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_auto_topk": _q_ann_auto_topk,
         "dataset_split": _q_dataset_split,
         "emb_dedup_clusters": _q_emb_dedup_clusters,
+        # windowed_dedup (driver-green r04; dedup family keeps 4 head
+        # canaries) rotated to the tail for this one
+        "doc_perplexity": _q_doc_perplexity,
         # -- new in r04 ----------------------------------------------------
         "trend_slope": _q_trend_slope,
         "ann_recall": _q_ann_recall,
@@ -401,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": _q_unigram_surprisal,
         "dedup_containment": _q_dedup_containment,
         "top_ngrams_by_source": _q_top_ngrams_by_source,
+        "windowed_dedup": _q_windowed_dedup,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -503,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantiles": _sql_approx_quantiles(),
         "zorder_prune": _sql_zorder_prune(),
         "bigram_lm": _SQL_BIGRAM_LM,
+        "doc_perplexity": _SQL_DOC_PERPLEXITY,
         "substring_dedup": _SQL_SUBSTRING_DEDUP,
         "dataset_split": _sql_dataset_split(),
         "emb_dedup_clusters": _sql_emb_dedup_clusters(),

@@ -617,3 +617,84 @@ FROM ranked CROSS JOIN vocab
 WHERE w2_rank <= 3
 ORDER BY 1, 3
 """
+
+
+def _q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy under the corpus's OWN add-k
+    bigram LM — the curation perplexity filter one step up from
+    unigram_surprisal (what a pipeline runs before paying for a neural
+    LM): high score = improbable continuations (noise/garbled text),
+    abnormally LOW score = boilerplate the corpus has memorized. Composes
+    the bigram_lm counting machinery end-to-end: same tokenization, same
+    add-k smoothing P(w2|w1) = (c+k)/(cw+k·V).
+
+    Shape: one posexplode + per-doc lead window (the text family's shared
+    doc_id exchange) → per-(doc,w1,w2) pre-aggregation (shrinks the join
+    input to distinct bigrams per doc) → join against the corpus bigram
+    counts (one (w1,w2) exchange) and context totals; vocab rides as a
+    broadcast single-row frame. Per-doc mean is a count-weighted avg
+    rounded at 1e-6 (absorbs double summation-order noise, the
+    unigram_surprisal convention)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        w.withColumn("w2", F.lead("w1").over(wd))
+        .where(F.col("w2").isNotNull())
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .persist()  # two consumers: corpus counts AND the scored join
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.sum("dc").cast("long").alias("c"))
+    cw = bi.groupBy("w1").agg(F.sum("c").cast("long").alias("cw"))
+    vocab = bi.agg(F.count_distinct("w2").alias("v"))
+    logp = F.log(
+        (F.col("c").cast("double") + F.lit(_LM_K))
+        / (F.col("cw").cast("double") + F.lit(_LM_K) * F.col("v").cast("double"))
+    )
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(cw, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "dc", (-logp).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("dc").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("dc").cast("double") * F.col("nll"))
+            / F.sum(F.col("dc").cast("double")),
+            6,
+        ).alias("xent"),
+    )
+
+
+_SQL_DOC_PERPLEXITY = f"""
+WITH l AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w1
+      FROM l),
+p0 AS (
+  SELECT doc_id, w1,
+         LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM w),
+pairs AS (SELECT doc_id, w1, w2, COUNT(*) AS dc FROM p0
+          WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+bi AS (SELECT w1, w2, CAST(SUM(dc) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+cw AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw FROM bi GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM bi)
+SELECT p.doc_id,
+       CAST(SUM(p.dc) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(CAST(p.dc AS DOUBLE)
+                 * -ln((CAST(b.c AS DOUBLE) + {_LM_K})
+                       / (CAST(c.cw AS DOUBLE)
+                          + {_LM_K} * CAST(v.v AS DOUBLE))))
+             / SUM(CAST(p.dc AS DOUBLE)), 6) AS xent
+FROM pairs p
+JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+JOIN cw c ON p.w1 = c.w1
+CROSS JOIN vocab v
+GROUP BY p.doc_id
+"""

@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 103
+PINNED_N = 104
 PINNED_CONTENT_SHA = (
-    "910e40a296279d14eca1df653aab6afcc867740702ed1a175119f866ce474100"
+    "3f09d538672d5a952c9e6f933482df82c176287cc6a9db7f53327a6a0bbab66f"
 )
 PINNED_SHA = (
-    "e0b677b05e222957be09c54e8ab386b48a70c497b034a7c4aa168012d8311fa7"
+    "6d017514f69eee4fa25e379afebe1cf68d18b3591a0e60391aeac18c1d042293"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats",
@@ -33,13 +33,13 @@ PINNED_HEAD = [
     "cube_report", "text_features", "dtw_band_cost", "dedup_clusters",
     "tumbling_counts", "binpack_assign", "time_range_stats",
     "doc_repetition", "contamination", "stratified_sample",
-    "session_token_stats", "windowed_dedup", "json_props",
+    "session_token_stats", "json_props",
     "ann_topk_arrow", "packed_tokens", "eval_sample",
     # new in r05: rotated in over asof_nearest / dedup_clusters_star /
     # unigram_surprisal / dedup_containment / top_ngrams_by_source
     # (driver-green r04, family canaries retained)
     "substring_dedup", "ann_recall_fitted", "ann_auto_topk",
-    "dataset_split", "emb_dedup_clusters",
+    "dataset_split", "emb_dedup_clusters", "doc_perplexity",
     "trend_slope",
     # r05 rotation: bigram_lm in (the one never-driver-hashed query,
     # VERDICT r04 #1), trend_fit out (driver-green r04, trend_slope
