@@ -187,6 +187,8 @@ from audio_feature_extraction_spark.queries.similarityq import (  # noqa: E501
     _q_ann_auto_topk,
     _q_ann_recall,
     _q_ann_recall_fitted,
+    _q_ann_recall_neardup,
+    _sql_ann_recall_neardup,
     _q_ann_topk,
     _q_ann_topk_arrow,
     _q_emb_dedup_clusters,
@@ -307,7 +309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
-        "session_token_stats": _q_session_token_stats,
         "json_props": _q_json_props,
         "ann_topk_arrow": _q_ann_topk_arrow,
         "packed_tokens": _q_packed_tokens,
@@ -325,6 +326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windowed_dedup (driver-green r04; dedup family keeps 4 head
         # canaries) rotated to the tail for this one
         "doc_perplexity": _q_doc_perplexity,
+        # session_token_stats (driver-green r04; sessionize +
+        # session_overlap keep the family) rotated out for this one
+        "ann_recall_neardup": _q_ann_recall_neardup,
         # -- new in r04 ----------------------------------------------------
         "trend_slope": _q_trend_slope,
         "ann_recall": _q_ann_recall,
@@ -406,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "top_ngrams_by_source": _q_top_ngrams_by_source,
         "windowed_dedup": _q_windowed_dedup,
+        "session_token_stats": _q_session_token_stats,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -513,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _sql_dataset_split(),
         "emb_dedup_clusters": _sql_emb_dedup_clusters(),
         "ann_recall_fitted": _sql_ann_recall_fitted(),
+        "ann_recall_neardup": _sql_ann_recall_neardup(),
         # auto routes to IVF on this corpus (sampled kth-cos ~0.3 < 0.75),
         # so the IVF SQL IS the oracle — a routing regression hash-fails
         "ann_auto_topk": _sql_ann_ivf(),

@@ -552,3 +552,113 @@ sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
 SELECT l.vec_id, l.cluster_id, s.cluster_size
 FROM lab l JOIN sizes s USING (cluster_id)
 """
+
+
+NEARDUP_K = 3
+
+def _q_ann_recall_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall in the regime it is actually FOR — completing the
+    routing evidence: ann_recall measures the weak-neighbor regime (LSH
+    0.37, the reason approx_topk refuses it there); this measures the
+    high-cos near-duplicate regime on planted ground truth (each planted
+    vector's true neighbor is its cos≈1.0 source). A cos≈1 pair is split
+    by a hyperplane with prob arccos(1)/π ≈ 0, so recall should be ≈1
+    even single-table — now a driver-gated number per table count instead
+    of a docstring formula. Output: (method, n_queries, n_hit, recall) —
+    exact small-int division, identical doubles on both engines."""
+    emb = _emb_with_planted(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") >= 100_000)
+    nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    parts = []
+    for label, nt in (("lsh_1table", 1), ("lsh_4table", 4)):
+        topk = _S.lsh_bucketed_topk(emb, queries, k=NEARDUP_K, n_tables=nt)
+        hits = topk.where(
+            F.col("neighbor_id") == F.col("query_id") - 100_000
+        ).agg(F.count(F.lit(1)).alias("n_hit"))
+        parts.append(
+            nq.crossJoin(F.broadcast(hits)).select(
+                F.lit(label).alias("method"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                F.col("n_hit").cast("long").alias("n_hit"),
+                (
+                    F.col("n_hit").cast("double")
+                    / F.col("n_queries").cast("double")
+                ).alias("recall"),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
+def _sql_ann_recall_neardup() -> str:
+    """DuckDB twin: identical plane literals per table (seed 7 + 101·t),
+    multiprobe hamming ≤ 1, cross-table DISTINCT, round(cos,6)+id rank —
+    the lsh_bucketed_topk shape over the planted-union corpus."""
+    blocks = []
+    for label, n_tables in (("lsh_1table", 1), ("lsh_4table", 4)):
+        cte, unions = [], []
+        for t in range(n_tables):
+            planes = _S._plane_literals(8, 64, 7 + 101 * t)
+            bits = " + ".join(
+                "(CASE WHEN list_sum(list_transform(list_zip(e, ["
+                + ", ".join(repr(x) for x in plane)
+                + "]), x -> x[1] * x[2])) > 0 THEN "
+                + str(1 << p)
+                + " ELSE 0 END)"
+                for p, plane in enumerate(planes)
+            )
+            probes = ", ".join(
+                ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(8)]
+            )
+            cte.append(
+                f"sig_{label}_{t} AS (SELECT vec_id, e, {bits} AS bucket "
+                "FROM vp)"
+            )
+            cte.append(
+                f"q_{label}_{t} AS (SELECT vec_id AS query_id, e AS qe, "
+                f"unnest([{probes}]) AS bucket FROM sig_{label}_{t} "
+                "WHERE vec_id >= 100000)"
+            )
+            unions.append(
+                f"SELECT q.query_id, s.vec_id AS neighbor_id, q.qe, s.e\n"
+                f"  FROM sig_{label}_{t} s JOIN q_{label}_{t} q "
+                f"ON s.bucket = q.bucket\n"
+                f"  WHERE s.vec_id != q.query_id"
+            )
+        cand_union = "\n  UNION ALL\n".join(unions)
+        blocks.append((label, ",\n".join(cte), cand_union))
+    per_label = []
+    for label, ctes, cand_union in blocks:
+        per_label.append(f"""{ctes},
+cand_{label} AS (SELECT DISTINCT query_id, neighbor_id, qe, e
+         FROM ({cand_union})),
+scored_{label} AS (SELECT query_id, neighbor_id,
+    list_sum(list_transform(list_zip(qe, e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+       * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+  FROM cand_{label}),
+ranked_{label} AS (SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+      AS rank
+  FROM scored_{label}),
+h_{label} AS (SELECT COUNT(*) AS n_hit FROM ranked_{label}
+  WHERE rank <= {NEARDUP_K} AND neighbor_id = query_id - 100000)""")
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT '{label}' AS method,
+       CAST(nq.n_queries AS BIGINT) AS n_queries,
+       CAST(h_{label}.n_hit AS BIGINT) AS n_hit,
+       CAST(h_{label}.n_hit AS DOUBLE) / CAST(nq.n_queries AS DOUBLE)
+         AS recall
+FROM nq CROSS JOIN h_{label}"""
+        for label, _, _ in blocks
+    )
+    joined = ",\n".join(p for p in per_label)
+    return f"""
+WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vp AS (SELECT vec_id, e FROM v0
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(e, x -> x * 1.001)
+      FROM v0 WHERE vec_id < {NEARDUP_PLANT}),
+nq AS (SELECT COUNT(*) AS n_queries FROM vp WHERE vec_id >= 100000),
+{joined}
+{finals}
+"""

@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 104
+PINNED_N = 105
 PINNED_CONTENT_SHA = (
-    "3f09d538672d5a952c9e6f933482df82c176287cc6a9db7f53327a6a0bbab66f"
+    "ce6b0450cfec5f72d2fc2a8bdce59dc19f1d195440955128ae53ada48c2c9c44"
 )
 PINNED_SHA = (
-    "6d017514f69eee4fa25e379afebe1cf68d18b3591a0e60391aeac18c1d042293"
+    "4685c59dcb934c33b0be1f68404e49bf418fb06964c7b1d32fe3b88ba8b8651a"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats",
@@ -33,13 +33,14 @@ PINNED_HEAD = [
     "cube_report", "text_features", "dtw_band_cost", "dedup_clusters",
     "tumbling_counts", "binpack_assign", "time_range_stats",
     "doc_repetition", "contamination", "stratified_sample",
-    "session_token_stats", "json_props",
+    "json_props",
     "ann_topk_arrow", "packed_tokens", "eval_sample",
     # new in r05: rotated in over asof_nearest / dedup_clusters_star /
     # unigram_surprisal / dedup_containment / top_ngrams_by_source
     # (driver-green r04, family canaries retained)
     "substring_dedup", "ann_recall_fitted", "ann_auto_topk",
     "dataset_split", "emb_dedup_clusters", "doc_perplexity",
+    "ann_recall_neardup",
     "trend_slope",
     # r05 rotation: bigram_lm in (the one never-driver-hashed query,
     # VERDICT r04 #1), trend_fit out (driver-green r04, trend_slope
