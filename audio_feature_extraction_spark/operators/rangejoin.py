@@ -90,17 +90,23 @@ def interval_overlap_join(
         raise ValueError(f"on_excess must be 'raise' or 'widen', got {on_excess!r}")
     w = int(round(bucket_sec * 1_000_000))
     if max_fanout_per_row is not None:
-        worst, worst_side = 0, ""
-        for side, df, s_col, e_col in (
-            ("left", left, left_start, left_end),
-            ("right", right, right_start, right_end),
-        ):
-            row = df.select(
-                F.max(F.col(e_col) - F.col(s_col)).alias("d")
-            ).first()
-            dur = row["d"] if row and row["d"] is not None else 0
-            if dur > worst:
-                worst, worst_side = dur, side
+        # ONE job for both sides: union the duration columns with a side
+        # tag and take (max, argmax) together — two serial .first() aggs
+        # measurably doubled the guard's cost on a cached input
+        durs = left.select(
+            F.lit("left").alias("_side"),
+            (F.col(left_end) - F.col(left_start)).alias("_d"),
+        ).unionAll(
+            right.select(
+                F.lit("right").alias("_side"),
+                (F.col(right_end) - F.col(right_start)).alias("_d"),
+            )
+        )
+        row = durs.agg(
+            F.max("_d").alias("d"), F.max_by("_side", "_d").alias("side")
+        ).first()
+        worst = row["d"] if row and row["d"] is not None else 0
+        worst_side = row["side"] or ""
         # an unaligned d-us interval covers at most d//w + 2 buckets
         fanout = worst // w + 2
         if fanout > max_fanout_per_row:
