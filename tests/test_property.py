@@ -357,3 +357,65 @@ def test_interval_overlap_join_random_vs_bruteforce(
     gotset = set(map(tuple, got.values.tolist()))
     assert len(got) == len(gotset), "duplicate pair emitted"
     assert gotset == want
+
+
+# --------------------------------------------------- substring-run dedup
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(8)]), min_size=0, max_size=30
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=docs_strategy)
+@SETTINGS
+def test_substring_runs_match_bruteforce(spark, docs):
+    """duplicated_substring_runs == a brute-force python oracle on random
+    tiny-vocab corpora (heavy natural shingle collisions: adjacency
+    merges, gap splits, within-doc repeats, short docs, empty docs)."""
+    from audio_feature_extraction_spark.operators.dedup import (
+        duplicated_substring_runs,
+    )
+
+    K, MIN_SPAN = 3, 4
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        schema="doc_id long, text string",
+    ).repartition(3)
+    got = {
+        (r["doc_id"], r["run_start"], r["run_end"],
+         r["n_shingles"], r["span_tokens"])
+        for r in duplicated_substring_runs(
+            sdf, "doc_id", "text", k=K, min_span_tokens=MIN_SPAN
+        ).collect()
+    }
+
+    # brute force — NOTE: tokenization is split(" "), so an empty text is
+    # ONE empty token (not zero), exactly like both engines
+    toks = {i: text.split(" ") for i, text in rows}
+    owners: dict[str, set] = {}
+    for d, t in toks.items():
+        for i in range(len(t) - K + 1):
+            owners.setdefault(" ".join(t[i:i + K]), set()).add(d)
+    want = set()
+    for d, t in toks.items():
+        kept = [
+            i
+            for i in range(len(t) - K + 1)
+            if len(owners[" ".join(t[i:i + K])]) >= 2
+        ]
+        run: list[int] = []
+        for i in kept + [None]:
+            if run and (i is None or i != run[-1] + 1):
+                span = run[-1] - run[0] + K
+                if span >= MIN_SPAN:
+                    want.add((d, run[0], run[-1], len(run), span))
+                run = []
+            if i is not None:
+                run = run + [i] if run and i == run[-1] + 1 else [i]
+        # (trailing run flushed by the None sentinel above)
+    assert got == want
