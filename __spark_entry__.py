@@ -257,31 +257,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness gate hashes the FIRST 50
-    entries. r04 rotation (tools/rotate_registry.py audits it): the head is
-    (a) one regression canary per driver-proven family, (b) the 5 r03-tail
-    queries that have never been driver-hashed (asof_nearest,
-    dedup_containment, dedup_clusters_star, unigram_surprisal,
-    top_ngrams_by_source) plus ALL five new r04 queries (trend_slope,
-    ann_recall, bm25_scores, tfidf_topterms, trend_fit) — after this
-    round every registry query has earned a driver-green row at least
-    once. Rotated to the tail: 10 r03-green queries whose family keeps a
-    head canary (delta9_centered/second ← delta9, sliding ← tumbling,
-    grouping_sets/pivot ← cube, region_part_revenue ← equi_join_fanout,
-    capped_sessions ← sessionize, token_slice ← binpack/packed_*,
-    rank_stats ← top1_per_group, emb_neardup ← the 4 ANN head queries);
-    the tail stays covered by tools/check_entry.py locally.
+    entries; rotations are audited by tools/rotate_registry.py (dual pin:
+    order-sensitive sha for the driver contract, order-INSENSITIVE content
+    sha that must not move on a pure rotation) and asserted by
+    tests/test_registry_pin.py.
 
-    LATE-r04 second rotation: the 9 late-r04 additions (hll_distinct,
-    weighted_sample, key_skew, cms_freq, bloom_prune, session_overlap,
-    drift_psi, approx_quantiles, zorder_prune) moved INTO the head so the
-    r04 driver hash covers them too; rotated out to make room (all
-    driver-green r01-r03, family canaries retained): percentiles (←
-    grouped_stats + the new approx_quantiles), rolling_median +
-    running_totals (← delta9/savgol/top1), ann_ivf_topk + ann_lsh_topk
-    (← ann_cosine/ann_recall/ann_topk_arrow), band_join (← the new
-    session_overlap, same rangejoin module), length_buckets + token_vocab
-    (← doc_repetition/text_features), packed_rollup (← binpack_assign/
-    packed_tokens). Content sha unchanged — pure reorder."""
+    r05 rotation: ALL 7 never-driver-hashed queries sit in the head —
+    bigram_lm (the one r04 left unhashed, VERDICT r04 #1) plus the 6 new
+    r05 queries (substring_dedup, ann_recall_fitted, ann_auto_topk,
+    dataset_split, emb_dedup_clusters, doc_perplexity, ann_recall_neardup).
+    Rotated to the tail to make room (ALL driver-green in r04, each
+    family keeping at least one head canary): trend_fit (← trend_slope),
+    asof_nearest (← asof_range_merge), dedup_clusters_star (←
+    dedup_clusters), unigram_surprisal + top_ngrams_by_source (←
+    doc_repetition/bm25/tfidf/bigram_lm), dedup_containment +
+    windowed_dedup (← dedup_exact/minhash/clusters/substring),
+    session_token_stats (← sessionize/session_overlap). After the r05
+    driver gate, every registry query has earned a driver-green row with
+    zero debt. The tail stays covered by tools/check_entry.py locally
+    (full 105-query sweeps green at sf0.001/0.01/0.1 this round)."""
     return {
         # -- canaries: one per driver-proven family (r02 green) ------------
         "pipeline_features": _pipeline_scalar,

@@ -14,8 +14,11 @@ idiomatic Spark DataFrame plans:
 - ``operators.windows``    lag/lead deltas, width-9 regression delta, rolling
                            stats, Savitzky-Golay, cumulative ops, pre-emphasis
 - ``operators.binpack``    n_tok-aware payload-balanced repartitioning
-- ``operators.dedup``      exact / MinHash-LSH / SimHash / n-gram Jaccard dedup
-- ``operators.similarity`` brute-force + LSH-bucketed + IVF cell-pruned ANN
+- ``operators.dedup``      exact / MinHash-LSH / SimHash / n-gram Jaccard /
+                           cross-doc substring-run (ExactSubstr) dedup
+- ``operators.similarity`` brute-force + LSH-bucketed + IVF cell-pruned ANN;
+                           Lloyd centroid fitting, regime-routed approx_topk,
+                           cell-partitioned parquet index
 - ``operators.dtw``        exact banded weighted-step DTW kernel (cogrouped
                            applyInPandas, anti-diagonal-vectorized DP)
 - ``operators.text``       language-ID, quality scoring, token counting,
