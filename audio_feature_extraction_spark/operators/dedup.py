@@ -161,7 +161,8 @@ def duplicated_substring_runs(
         F.col(id_col),
         "pos",
         portable_word_hash(F.col("shingle")).alias("_h"),
-    )
+    ).persist()  # two consumers (dup-hash agg + semi-join probe) — same
+    # rationale and cache-lifetime contract as ngram_jaccard_pairs above
     dup = sh.groupBy("_h").agg(
         F.count_distinct(F.col(id_col)).alias("_nd")
     )

@@ -233,8 +233,19 @@ def dataset_split(
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     cum, edges = 0.0, []
     for name, frac in fractions.items():
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(
+                f"fraction for {name!r} must be in (0, 1], got {frac}"
+            )
         cum += frac
-        edges.append((name, round(cum * buckets)))
+        hi = round(cum * buckets)
+        if edges and hi <= edges[-1][1]:
+            raise ValueError(
+                f"fraction for {name!r} ({frac}) quantizes to an empty "
+                f"bucket range at buckets={buckets}; use more buckets or "
+                "a larger fraction"
+            )
+        edges.append((name, hi))
     if abs(edges[-1][1] - buckets) > 1:
         raise ValueError(
             f"fractions sum to {cum}, expected 1.0 (±1 bucket)"

@@ -88,6 +88,11 @@ def interval_overlap_join(
         )
     if on_excess not in ("raise", "widen"):
         raise ValueError(f"on_excess must be 'raise' or 'widen', got {on_excess!r}")
+    if max_fanout_per_row is not None and max_fanout_per_row < 4:
+        raise ValueError(
+            f"max_fanout_per_row must be >= 4 (got {max_fanout_per_row}): "
+            "the widen derivation divides by cap-2"
+        )
     w = int(round(bucket_sec * 1_000_000))
     if max_fanout_per_row is not None:
         # ONE job for both sides: union the duration columns with a side
@@ -111,14 +116,18 @@ def interval_overlap_join(
         fanout = worst // w + 2
         if fanout > max_fanout_per_row:
             # ceil(d / (cap-2)) keeps the widened fan-out within the cap
-            fit_w = -(-worst // max(1, max_fanout_per_row - 2))
+            fit_w = max(1, -(-worst // (max_fanout_per_row - 2)))
             if on_excess == "raise":
+                # advertise fit_w/1e6 at full precision: round(that*1e6)
+                # recovers fit_w exactly, so following the message's named
+                # fix always satisfies the guard (a figure rounded DOWN
+                # for display could raise again on retry)
                 raise ValueError(
                     f"interval_overlap_join: the longest {worst_side} "
                     f"interval ({worst} us) spans ~{fanout} buckets at "
                     f"bucket_sec={bucket_sec}, exceeding "
                     f"max_fanout_per_row={max_fanout_per_row}. Pass "
-                    f"bucket_sec>={fit_w / 1_000_000:.0f}, on_excess="
+                    f"bucket_sec>={fit_w / 1_000_000!r}, on_excess="
                     f"'widen' to auto-derive it, or max_fanout_per_row="
                     "None to skip the guard."
                 )

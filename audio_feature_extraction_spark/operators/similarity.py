@@ -639,8 +639,10 @@ def approx_topk(
       populated cells and the 'pruned' scan reads most of the corpus.
       At scale, pass ``centroids=fit_ivf_centroids(..., init='data')``
       and pick nprobe from the published curve.
-    - ``method='ivf'`` / ``method='lsh'`` force a path (the LSH force in a
-      low-cos regime still warns — actively steering, never silent).
+    - ``method='ivf'`` / ``method='lsh'`` force a path WITHOUT the regime
+      estimate (no extra corpus scan): forcing means the caller owns the
+      recall trade-off — check it against the gated `ann_recall` /
+      `ann_recall_neardup` numbers. Only 'auto' steers.
 
     Output schema matches :func:`brute_force_topk`."""
     import warnings
@@ -734,13 +736,17 @@ def read_ivf_candidates(
     )
     cells = sorted({int(c) for c in qp["cell"].tolist()})
     paths = [f"{path}/cell={c}" for c in cells]
-    import os as _os
-
-    local = [p.replace("file:", "") for p in paths]
-    existing = [
-        p for p, lp in zip(paths, local) if _os.path.isdir(lp)
-    ] or None
-    if existing is None:
+    # existence check through the Hadoop FileSystem API, NOT os.path —
+    # the index may live on any Hadoop-supported store (s3a/hdfs/...);
+    # a local-only check would silently treat every cell as missing there
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    existing = []
+    for p in paths:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        if hp.getFileSystem(hconf).exists(hp):
+            existing.append(p)
+    if not existing:
         # every probed cell was empty at write time: empty frame, right schema
         return spark.read.parquet(path).where(F.lit(False))
     return spark.read.option("basePath", path).parquet(*existing)

@@ -171,10 +171,11 @@ class CheckpointTable:
         """Input rows whose keys are not yet in any committed snapshot.
 
         ``input_min_ts`` (an ISO timestamp string — ``YYYY-MM-DD HH:MM:SS``
-        or the ``T``-separated form; both are normalized to the
-        space-separated shape Spark's timestamp cast produces before the
-        lexicographic compare, so a 'T' input can never out-sort every
-        stored watermark and wrongly prune) enables the manifest
+        with optional ``T`` separator and fractional seconds; both sides
+        are PARSED to datetimes before comparing, because raw string order
+        breaks on separator bytes AND fractional-second width — a wm
+        without ``.000000`` would sort below the same instant written with
+        it and wrongly prune) enables the manifest
         watermark prune the module docstring promises: snapshots whose
         recorded max event time (manifest ``watermark_ts``) is strictly
         below the input's min event time are skipped ENTIRELY — their
@@ -190,15 +191,34 @@ class CheckpointTable:
         except FileNotFoundError:
             return input_df
         if input_min_ts is not None:
-            min_ts = input_min_ts.replace("T", " ")
+            # parse BOTH sides to datetimes: a raw string compare breaks on
+            # separator ('T' vs ' ') AND on fractional-second width (a wm
+            # without '.000000' sorts BELOW the same instant written with
+            # it, wrongly pruning). Unparseable values fall back to keeping
+            # the snapshot — pruning is an optimization, never allowed to
+            # drop a relevant snapshot.
+            from datetime import datetime
+
+            def _ts(s: str):
+                try:
+                    return datetime.fromisoformat(s.replace("T", " "))
+                except ValueError:
+                    return None
+
+            min_dt = _ts(input_min_ts)
+            if min_dt is None:
+                raise ValueError(
+                    f"input_min_ts {input_min_ts!r} is not an ISO "
+                    "timestamp (YYYY-MM-DD HH:MM:SS[.ffffff])"
+                )
             m = self.read_manifest(spark)
-            keep = {
-                r["snapshot_id"]
-                for r in m.groupBy("snapshot_id")
-                .agg(F.max("watermark_ts").alias("wm"))
-                .collect()
-                if r["wm"] is None or r["wm"].replace("T", " ") >= min_ts
-            }
+            keep = set()
+            for r in m.groupBy("snapshot_id").agg(
+                F.max("watermark_ts").alias("wm")
+            ).collect():
+                wm = _ts(r["wm"]) if r["wm"] is not None else None
+                if r["wm"] is None or wm is None or wm >= min_dt:
+                    keep.add(r["snapshot_id"])
             ids = [i for i in ids if i in keep]
             if not ids:
                 return input_df

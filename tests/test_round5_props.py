@@ -472,3 +472,54 @@ def test_fit_ivf_on_hash_sample_still_improves(spark):
         return float(d.min(1).mean())
 
     assert sse(fitted) < sse(_centroid_literals(4, 16, 5))
+
+
+# ----------------------------------------------- review-fix regressions
+
+def test_interval_guard_message_fix_roundtrips(spark):
+    """Following the guard error's named bucket_sec must succeed (a
+    display-rounded figure could raise again on retry)."""
+    import re
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"s1": [0], "e1": [260 * US]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame({"s2": [0], "e2": [US]})
+    )
+    with pytest.raises(ValueError) as ei:
+        interval_overlap_join(
+            l, r, "s1", "e1", "s2", "e2",
+            bucket_sec=1.0, max_fanout_per_row=27,
+        )
+    advertised = float(
+        re.search(r"bucket_sec>=([0-9.e+-]+)", str(ei.value)).group(1)
+    )
+    out = interval_overlap_join(
+        l, r, "s1", "e1", "s2", "e2",
+        bucket_sec=advertised, max_fanout_per_row=27,
+    )
+    assert out.count() == 1  # the intervals do overlap
+
+
+def test_interval_guard_rejects_tiny_cap(spark):
+    l = spark.createDataFrame(pd.DataFrame({"s1": [0], "e1": [1]}))
+    r = spark.createDataFrame(pd.DataFrame({"s2": [0], "e2": [1]}))
+    with pytest.raises(ValueError, match=">= 4"):
+        interval_overlap_join(
+            l, r, "s1", "e1", "s2", "e2", max_fanout_per_row=2
+        )
+
+
+def test_dataset_split_rejects_non_monotonic_fractions(spark):
+    """Negative or net-zero fractions that happen to sum to 1 must fail,
+    not silently produce unreachable splits."""
+    from audio_feature_extraction_spark.operators.quality import (
+        dataset_split,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="must be in"):
+        dataset_split(df, "doc_id", {"a": 1.0, "b": 0.1, "c": -0.1})
+    with pytest.raises(ValueError, match="must be in"):
+        dataset_split(df, "doc_id", {"a": 0.5, "b": 0.0, "c": 0.5})
