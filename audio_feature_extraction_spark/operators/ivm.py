@@ -18,8 +18,14 @@ experiment_data_manager.py` recomputes its summary stats from scratch on
 every append; this operator is the scale-correct replacement.
 
 Max/min are NOT self-maintainable under deletes (a retracted max needs a
-rescan of its group); this module deliberately covers the algebraic
-(count/sum) family only.
+rescan of its group); the count/sum family above stays O(|delta|)
+unconditionally. For max the module provides the standard DIRTY-FLAG
+hybrid (:func:`group_max` / :func:`incremental_group_max` /
+:func:`repair_dirty_max`): inserts maintain the max in O(|delta|); a
+retraction that ties the group's current max only FLAGS the group dirty,
+and the repair pass rescans JUST the dirty groups (a semi-join filter on
+the base — partition-prunable at scale), never the whole table. Groups
+whose retractions were all below the max never rescan anything.
 
 Float drift & the re-baseline cadence contract: ``s`` is a running double
 maintained by ± deltas, so across many rounds it accumulates FP error
@@ -136,3 +142,109 @@ def rebaseline(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     :func:`group_agg`, named for the cadence contract's vocabulary — after
     this, maintenance resumes from a drift-free (g, n, s) frame."""
     return group_agg(df, group_col, value_col)
+
+
+# ------------------------------------------------------- max (dirty-flag)
+
+
+def group_max(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """The batch view the max family maintains: (g, n, mx, dirty=false).
+    ``n`` rides along so group death is detectable without a rescan."""
+    return (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col(value_col).cast("double")).alias("mx"),
+        )
+        .withColumn("dirty", F.lit(False))
+    )
+
+
+def incremental_group_max(
+    base: DataFrame,
+    cdc: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dirty-flag incremental max: O(|delta|) always, with exactness
+    bookkeeping instead of a silent lie.
+
+    - Inserts (and the new side of updates) raise ``mx`` directly.
+    - A retraction strictly BELOW the group's max cannot change it: no
+      flag, still exact.
+    - A retraction that TIES the max invalidates it (the max may have been
+      duplicated — only a rescan knows), so the group is flagged
+      ``dirty`` and ``mx`` becomes an upper bound ... UNLESS a concurrent
+      insert >= the old max re-establishes an exact max, which also
+      CLEANS a previously-dirty group (the insert dominates any stale
+      upper bound).
+    - ``n`` is maintained exactly (like :func:`incremental_group_agg`);
+      groups reaching n = 0 drop.
+
+    Consumers must treat ``dirty`` rows' ``mx`` as an upper bound and run
+    :func:`repair_dirty_max` (a semi-join-pruned rescan of ONLY the dirty
+    groups) before exact reads. One shuffle on the (tiny) delta + one
+    outer join against the view."""
+    add = cdc.where(F.col("change").isin("I", "U")).select(
+        F.col(f"_new.{group_col}").alias("g"),
+        F.col(f"_new.{value_col}").cast("double").alias("v"),
+    )
+    ret = cdc.where(F.col("change").isin("D", "U")).select(
+        F.col(f"_old.{group_col}").alias("g"),
+        F.col(f"_old.{value_col}").cast("double").alias("v"),
+    )
+    delta = (
+        add.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_add"), F.max("v").alias("add_max"))
+        .join(
+            ret.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n_ret"),
+                F.max("v").alias("ret_max"),
+            ),
+            "g",
+            "full_outer",
+        )
+    )
+    j = base.join(delta, "g", "full_outer")
+    n = (
+        F.coalesce("n", F.lit(0))
+        + F.coalesce("n_add", F.lit(0))
+        - F.coalesce("n_ret", F.lit(0))
+    ).cast("long")
+    clean_by_add = F.col("add_max").isNotNull() & (
+        F.col("mx").isNull() | (F.col("add_max") >= F.col("mx"))
+    )
+    invalidated = (
+        F.col("ret_max").isNotNull()
+        & F.col("mx").isNotNull()
+        & (F.col("ret_max") >= F.col("mx"))
+    )
+    new_dirty = (
+        F.coalesce("dirty", F.lit(False)) | invalidated
+    ) & ~clean_by_add
+    return (
+        j.select(
+            "g",
+            n.alias("n"),
+            F.greatest("mx", "add_max").alias("mx"),
+            new_dirty.alias("dirty"),
+        )
+        .where(F.col("n") > 0)
+    )
+
+
+def repair_dirty_max(
+    view: DataFrame, base: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The selective repair: rescan ONLY the dirty groups (left-semi
+    filter on the base — with a group-partitioned/bucketed layout this
+    prunes at file level) and splice the exact rows back. Clean groups
+    never touch the base. After this every row is exact and
+    ``dirty=false``; dirty groups whose rows all vanished drop."""
+    dirty_g = view.where(F.col("dirty")).select(
+        F.col("g").alias(group_col)
+    )
+    fresh = group_max(
+        base.join(dirty_g, group_col, "left_semi"), group_col, value_col
+    )
+    return view.where(~F.col("dirty")).unionByName(fresh)

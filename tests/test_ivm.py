@@ -125,3 +125,134 @@ def test_ivm_identical_rewrite_is_noop(spark, tbl):
         .toPandas()
     )
     pd.testing.assert_frame_equal(_norm(view.toPandas()), want)
+
+
+def test_ivm_max_dirty_flag_and_selective_repair(spark, tbl):
+    from audio_feature_extraction_spark.operators.ivm import (
+        group_max,
+        incremental_group_max,
+        repair_dirty_max,
+    )
+
+    s0 = tbl.upsert(
+        _mk(
+            spark,
+            [
+                (1, "a", 5.0), (2, "a", 9.0), (3, "a", 9.0),  # duplicated max
+                (4, "b", 7.0), (5, "b", 3.0),
+                (6, "c", 2.0),
+            ],
+        ),
+        ["k"],
+    )
+    view = group_max(tbl.read_current(spark, ["k"], s0), "src", "val")
+
+    # delete one copy of a's duplicated max AND b's non-max row
+    s1 = tbl.delete(_mk(spark, [(2, "", 0.0), (5, "", 0.0)]), ["k"])
+    view = incremental_group_max(
+        view, tbl.diff_rows(spark, ["k"], s0, s1), "src", "val"
+    )
+    pdf = _norm(view.toPandas()).set_index("g")
+    # a: retraction tied the max -> dirty, mx stays the 9.0 upper bound
+    assert bool(pdf.loc["a", "dirty"]) and pdf.loc["a", "mx"] == 9.0
+    # b: retraction was below the max -> exact, no flag
+    assert not bool(pdf.loc["b", "dirty"]) and pdf.loc["b", "mx"] == 7.0
+    assert not bool(pdf.loc["c", "dirty"])
+    assert pdf.n.tolist() == [2, 1, 1]
+
+    # repair rescans ONLY group a; result == recompute
+    repaired = repair_dirty_max(
+        view, tbl.read_current(spark, ["k"], s1), "src", "val"
+    )
+    want = _norm(
+        group_max(tbl.read_current(spark, ["k"], s1), "src", "val").toPandas()
+    )
+    pd.testing.assert_frame_equal(_norm(repaired.toPandas()), want)
+    # group a is still exact: its OTHER 9.0 survives
+    assert want.set_index("g").loc["a", "mx"] == 9.0
+
+
+def test_ivm_max_insert_dominates_and_cleans(spark, tbl):
+    """A retraction of the max plus a concurrent bigger insert stays
+    EXACT (the insert dominates), and a later dominating insert cleans a
+    previously-dirty group without any rescan."""
+    from audio_feature_extraction_spark.operators.ivm import (
+        group_max,
+        incremental_group_max,
+    )
+
+    s0 = tbl.upsert(_mk(spark, [(1, "a", 5.0), (2, "a", 3.0)]), ["k"])
+    view = group_max(tbl.read_current(spark, ["k"], s0), "src", "val")
+    # same round: delete the max (5.0) and insert 8.0 -> exact, clean
+    tbl.delete(_mk(spark, [(1, "", 0.0)]), ["k"])
+    s1 = tbl.upsert(_mk(spark, [(9, "a", 8.0)]), ["k"])
+    view = incremental_group_max(
+        view, tbl.diff_rows(spark, ["k"], s0, s1), "src", "val"
+    )
+    pdf = _norm(view.toPandas()).set_index("g")
+    assert not bool(pdf.loc["a", "dirty"]) and pdf.loc["a", "mx"] == 8.0
+
+    # now delete THE max (8.0) -> dirty upper bound 8.0
+    s2 = tbl.delete(_mk(spark, [(9, "", 0.0)]), ["k"])
+    view = incremental_group_max(
+        view, tbl.diff_rows(spark, ["k"], s1, s2), "src", "val"
+    )
+    pdf = _norm(view.toPandas()).set_index("g")
+    assert bool(pdf.loc["a", "dirty"]) and pdf.loc["a", "mx"] == 8.0
+    # a dominating insert cleans it without repair
+    s3 = tbl.upsert(_mk(spark, [(10, "a", 11.0)]), ["k"])
+    view = incremental_group_max(
+        view, tbl.diff_rows(spark, ["k"], s2, s3), "src", "val"
+    )
+    pdf = _norm(view.toPandas()).set_index("g")
+    assert not bool(pdf.loc["a", "dirty"]) and pdf.loc["a", "mx"] == 11.0
+
+
+def test_ivm_max_matches_recompute_over_random_chain(spark, tbl):
+    """Across a random mutation chain, repair_dirty_max(view) == full
+    recompute after EVERY round, and clean groups were already exact
+    before the repair."""
+    from audio_feature_extraction_spark.operators.ivm import (
+        group_max,
+        incremental_group_max,
+        repair_dirty_max,
+    )
+
+    rng = np.random.default_rng(77)
+    srcs = ["web", "book", "code"]
+
+    def rand_rows(keys):
+        return [
+            (int(k), srcs[int(rng.integers(0, 3))],
+             float(np.round(rng.normal(10, 5), 3)))
+            for k in keys
+        ]
+
+    s = tbl.upsert(_mk(spark, rand_rows(range(30))), ["k"])
+    view = group_max(tbl.read_current(spark, ["k"], s), "src", "val")
+    prev = s
+    for step in range(4):
+        upd = rand_rows(rng.choice(30, size=6, replace=False))
+        ins = rand_rows(range(200 + step * 10, 200 + step * 10 + 4))
+        tbl.upsert(_mk(spark, upd + ins), ["k"])
+        dels = [(int(k), "", 0.0)
+                for k in rng.choice(30, size=3, replace=False)]
+        cur = tbl.delete(_mk(spark, dels), ["k"])
+        view = incremental_group_max(
+            view, tbl.diff_rows(spark, ["k"], prev, cur), "src", "val"
+        )
+        base = tbl.read_current(spark, ["k"], cur)
+        want = _norm(group_max(base, "src", "val").toPandas())
+        got_pre = _norm(view.toPandas())
+        # clean rows must ALREADY equal the recompute
+        clean = got_pre[~got_pre.dirty].set_index("g")
+        w = want.set_index("g")
+        for g in clean.index:
+            assert clean.loc[g, "mx"] == w.loc[g, "mx"], (step, g)
+            assert clean.loc[g, "n"] == w.loc[g, "n"], (step, g)
+        # dirty rows carry a valid upper bound
+        for g in got_pre[got_pre.dirty].g:
+            assert got_pre.set_index("g").loc[g, "mx"] >= w.loc[g, "mx"]
+        view = repair_dirty_max(view, base, "src", "val")
+        pd.testing.assert_frame_equal(_norm(view.toPandas()), want)
+        prev = cur
