@@ -256,3 +256,25 @@ def test_ivm_max_matches_recompute_over_random_chain(spark, tbl):
         view = repair_dirty_max(view, base, "src", "val")
         pd.testing.assert_frame_equal(_norm(view.toPandas()), want)
         prev = cur
+
+
+def test_ivm_max_repair_is_noop_when_clean(spark, tbl):
+    from audio_feature_extraction_spark.operators.ivm import (
+        group_max,
+        incremental_group_max,
+        repair_dirty_max,
+    )
+
+    s0 = tbl.upsert(_mk(spark, [(1, "a", 5.0), (2, "b", 7.0)]), ["k"])
+    view = group_max(tbl.read_current(spark, ["k"], s0), "src", "val")
+    s1 = tbl.upsert(_mk(spark, [(3, "a", 6.0)]), ["k"])  # insert only
+    view = incremental_group_max(
+        view, tbl.diff_rows(spark, ["k"], s0, s1), "src", "val"
+    )
+    assert view.where("dirty").count() == 0
+    repaired = repair_dirty_max(
+        view, tbl.read_current(spark, ["k"], s1), "src", "val"
+    )
+    pd.testing.assert_frame_equal(
+        _norm(repaired.toPandas()), _norm(view.toPandas())
+    )

