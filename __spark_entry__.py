@@ -262,8 +262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sha that must not move on a pure rotation) and asserted by
     tests/test_registry_pin.py.
 
-    r05 rotation: ALL 7 never-driver-hashed queries sit in the head —
-    bigram_lm (the one r04 left unhashed, VERDICT r04 #1) plus the 6 new
+    r05 rotation: ALL 8 never-driver-hashed queries sit in the head —
+    bigram_lm (the one r04 left unhashed, VERDICT r04 #1) plus the 7 new
     r05 queries (substring_dedup, ann_recall_fitted, ann_auto_topk,
     dataset_split, emb_dedup_clusters, doc_perplexity, ann_recall_neardup).
     Rotated to the tail to make room (ALL driver-green in r04, each

@@ -172,12 +172,21 @@ def incremental_group_max(
     - Inserts (and the new side of updates) raise ``mx`` directly.
     - A retraction strictly BELOW the group's max cannot change it: no
       flag, still exact.
-    - A retraction that TIES the max invalidates it (the max may have been
-      duplicated — only a rescan knows), so the group is flagged
-      ``dirty`` and ``mx`` becomes an upper bound ... UNLESS a concurrent
-      insert >= the old max re-establishes an exact max, which also
-      CLEANS a previously-dirty group (the insert dominates any stale
-      upper bound).
+    - A retraction that TIES the running upper bound ``greatest(mx,
+      add_max)`` invalidates it (the max may have been duplicated — only
+      a rescan knows), so the group is flagged ``dirty`` and ``mx``
+      becomes an upper bound ... UNLESS a concurrent insert STRICTLY
+      above the batch's ret_max (and >= the old max) re-establishes an
+      exact max, which also CLEANS a previously-dirty group (the insert
+      survives any retraction in the batch and dominates any stale upper
+      bound). The strict ``add_max > ret_max`` requirement is what makes
+      this safe for LOG-STYLE CDC, where a batch may insert a value and
+      retract that same value (``add_max == ret_max > mx``): such a
+      batch flags the group dirty rather than adopting the
+      inserted-then-deleted value as a "clean" max. (Snapshot-diff CDC —
+      retracted rows always exist in the view's base, so
+      ``ret_max <= mx`` — never hits this branch; the conservative flag
+      only costs a repair rescan when it fires.)
     - ``n`` is maintained exactly (like :func:`incremental_group_agg`);
       groups reaching n = 0 drop.
 
@@ -211,13 +220,21 @@ def incremental_group_max(
         + F.coalesce("n_add", F.lit(0))
         - F.coalesce("n_ret", F.lit(0))
     ).cast("long")
-    clean_by_add = F.col("add_max").isNotNull() & (
-        F.col("mx").isNull() | (F.col("add_max") >= F.col("mx"))
+    # clean requires the insert to survive the batch's own retractions:
+    # add_max must be STRICTLY above ret_max (== would mean the dominating
+    # insert may itself have been retracted — the log-CDC trap) as well as
+    # >= the old max.
+    clean_by_add = (
+        F.col("add_max").isNotNull()
+        & (F.col("mx").isNull() | (F.col("add_max") >= F.col("mx")))
+        & (F.col("ret_max").isNull() | (F.col("add_max") > F.col("ret_max")))
     )
-    invalidated = (
-        F.col("ret_max").isNotNull()
-        & F.col("mx").isNotNull()
-        & (F.col("ret_max") >= F.col("mx"))
+    # the retraction invalidates when it ties the post-batch upper bound
+    # greatest(mx, add_max) — comparing against the OLD mx alone would
+    # miss a same-batch insert+retract of a value above it.
+    ub = F.greatest("mx", "add_max")  # greatest ignores NULLs
+    invalidated = F.col("ret_max").isNotNull() & (
+        ub.isNull() | (F.col("ret_max") >= ub)
     )
     new_dirty = (
         F.coalesce("dirty", F.lit(False)) | invalidated

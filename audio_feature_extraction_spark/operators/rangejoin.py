@@ -26,7 +26,7 @@ def interval_overlap_join(
     right_end: str,
     bucket_sec: float = 21_600.0,
     extra_cond: Column | None = None,
-    max_fanout_per_row: int | None = 512,
+    max_fanout_per_row: int | None = None,
     on_excess: str = "raise",
 ) -> DataFrame:
     """All (left, right) row pairs whose CLOSED µs intervals overlap
@@ -56,13 +56,16 @@ def interval_overlap_join(
     per-bucket candidate quadratics (dense buckets / big buckets); skewed
     hot buckets split under AQE.
 
-    Fan-out guard: an interval spanning ``f`` buckets explodes to ``f``
-    rows, so a month-long interval at the default 6 h bucket costs ~120
-    rows — and a mis-sized bucket can silently multiply the input by
-    thousands. Unless ``max_fanout_per_row`` is None, plan build runs one
-    tiny two-column aggregate per side (max duration only — at any scale
-    this is a column-stats scan, the price of the guard) and, when
-    ``max(duration)/bucket > max_fanout_per_row``:
+    Fan-out guard (OPT-IN — default ``max_fanout_per_row=None`` keeps
+    this a pure lazy plan builder): an interval spanning ``f`` buckets
+    explodes to ``f`` rows, so a month-long interval at the default 6 h
+    bucket costs ~120 rows — and a mis-sized bucket can silently multiply
+    the input by thousands. When ``max_fanout_per_row`` is set, plan
+    build runs ONE eager job (union of both sides' durations + a max
+    aggregate — at any scale this is a column-stats scan, the price of
+    the guard; this is why it is opt-in, and why it raises up front on
+    streaming inputs, which cannot run a batch aggregate at plan time)
+    and, when ``max(duration)/bucket > max_fanout_per_row``:
 
     - ``on_excess='raise'`` (default) fails fast naming the offending
       side and the bucket_sec that would fit, mirroring
@@ -95,6 +98,13 @@ def interval_overlap_join(
         )
     w = int(round(bucket_sec * 1_000_000))
     if max_fanout_per_row is not None:
+        if left.isStreaming or right.isStreaming:
+            raise ValueError(
+                "interval_overlap_join: the fan-out guard runs an eager "
+                "batch aggregate at plan-build time and cannot run on a "
+                "streaming DataFrame — pass max_fanout_per_row=None and "
+                "size bucket_sec from known interval-duration bounds."
+            )
         # ONE job for both sides: union the duration columns with a side
         # tag and take (max, argmax) together — two serial .first() aggs
         # measurably doubled the guard's cost on a cached input

@@ -149,6 +149,9 @@ def _q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, "s1", "e1", "s2", "e2",
         bucket_sec=21_600.0,
         extra_cond=F.col("u1") < F.col("u2"),
+        # guard is opt-in (the operator default is None to stay a pure
+        # lazy builder); this gated query keeps it ON as evidence
+        max_fanout_per_row=512,
     )
     agg = pairs.groupBy("u1", "u2").agg(
         F.count(F.lit(1)).alias("n_overlaps"),

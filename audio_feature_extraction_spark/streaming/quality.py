@@ -69,8 +69,18 @@ def corpus_bigram_lm(
         .agg(F.count(F.lit(1)).alias("_c"))
         .where(F.col("_c") >= min_count)
     )
-    rows = bi.collect()
-    bigrams = {(r["_w1"], r["_w2"]): int(r["_c"]) for r in rows}
+    from ..operators.similarity import MAX_DRIVER_COLLECT_ROWS, collect_guarded
+
+    pdf = collect_guarded(
+        bi,
+        "reference-corpus bigram LM",
+        "a larger min_count (prunes the hapax tail before the collect)",
+        MAX_DRIVER_COLLECT_ROWS,
+    )
+    bigrams = {
+        (w1, w2): int(c)
+        for w1, w2, c in zip(pdf["_w1"], pdf["_w2"], pdf["_c"])
+    }
     contexts: dict[str, int] = {}
     vocab: set[str] = set()
     for (w1, w2), c in bigrams.items():

@@ -278,3 +278,78 @@ def test_ivm_max_repair_is_noop_when_clean(spark, tbl):
     pd.testing.assert_frame_equal(
         _norm(repaired.toPandas()), _norm(view.toPandas())
     )
+
+
+def _log_cdc(spark, rows):
+    """Raw log-style CDC frame (change, _old, _new) — NOT snapshot-diff:
+    a batch may insert a value and retract that same value, which
+    diff_rows (snapshot semantics) can never emit."""
+    schema = (
+        "change string, "
+        "_old struct<src:string,val:double>, "
+        "_new struct<src:string,val:double>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ivm_max_log_cdc_insert_then_retract_same_value_flags_dirty(spark):
+    """ADVICE r05 (medium): a log-CDC batch that inserts a value ABOVE the
+    old max and retracts that same value in the same batch must NOT mark
+    the inserted value as a clean max — the value no longer exists."""
+    from audio_feature_extraction_spark.operators.ivm import (
+        group_max,
+        incremental_group_max,
+        repair_dirty_max,
+    )
+
+    base = spark.createDataFrame(
+        pd.DataFrame([(1, "a", 5.0), (2, "a", 3.0)], columns=["k", "src", "val"])
+    )
+    view = group_max(base, "src", "val")
+    cdc = _log_cdc(
+        spark,
+        [
+            ("I", None, ("a", 10.0)),
+            ("D", ("a", 10.0), None),
+        ],
+    )
+    view = incremental_group_max(view, cdc, "src", "val")
+    pdf = _norm(view.toPandas()).set_index("g")
+    # 10.0 was inserted AND retracted: mx=10.0 is only an upper bound and
+    # the group MUST be dirty (true max is still 5.0; repair recovers it)
+    assert bool(pdf.loc["a", "dirty"])
+    assert pdf.loc["a", "mx"] == 10.0
+    assert pdf.loc["a", "n"] == 2
+    repaired = repair_dirty_max(view, base, "src", "val")
+    rp = _norm(repaired.toPandas()).set_index("g")
+    assert rp.loc["a", "mx"] == 5.0 and not bool(rp.loc["a", "dirty"])
+
+
+def test_ivm_max_log_cdc_surviving_dominating_insert_stays_clean(spark):
+    """The strict add_max > ret_max rule keeps the EXACT fast path: when
+    the batch's dominating insert is strictly above everything it
+    retracts, the insert survives and the group stays clean."""
+    from audio_feature_extraction_spark.operators.ivm import (
+        group_max,
+        incremental_group_max,
+    )
+
+    base = spark.createDataFrame(
+        pd.DataFrame([(1, "a", 5.0)], columns=["k", "src", "val"])
+    )
+    view = group_max(base, "src", "val")
+    # insert 7 and 10 in the same batch, retract the 7 again (log-CDC):
+    # the 10 survives any retraction in the batch -> exact, clean
+    cdc = _log_cdc(
+        spark,
+        [
+            ("I", None, ("a", 7.0)),
+            ("I", None, ("a", 10.0)),
+            ("D", ("a", 7.0), None),
+        ],
+    )
+    view = incremental_group_max(view, cdc, "src", "val")
+    pdf = _norm(view.toPandas()).set_index("g")
+    assert not bool(pdf.loc["a", "dirty"])
+    assert pdf.loc["a", "mx"] == 10.0
+    assert pdf.loc["a", "n"] == 2

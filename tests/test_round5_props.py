@@ -86,14 +86,15 @@ def test_interval_join_widen_month_long_matches_bruteforce(spark):
 
 
 def test_interval_join_guard_quiet_within_cap(spark):
-    """Short intervals under the default cap: guard on, no error, pairs
+    """Short intervals under the cap: guard explicitly on (ADVICE r05
+    made it opt-in — the operator default is None), no error, pairs
     exactly brute force (the guard must not perturb results)."""
     rng = np.random.default_rng(17)
     left, right = _frames(spark, rng, 50, 3 * US)
     got = (
         interval_overlap_join(
             spark.createDataFrame(left), spark.createDataFrame(right),
-            "s1", "e1", "s2", "e2", bucket_sec=1.0,
+            "s1", "e1", "s2", "e2", bucket_sec=1.0, max_fanout_per_row=512,
         )
         .select("lid", "rid").toPandas()
     )
@@ -108,6 +109,50 @@ def test_interval_join_rejects_clashing_column_names(spark):
     )
     with pytest.raises(ValueError, match="distinct"):
         interval_overlap_join(df, df, "s", "e", "s", "e")
+
+
+def test_interval_join_guard_rejects_streaming_input(spark, tmp_path):
+    """ADVICE r05: the opt-in guard runs an eager batch aggregate at plan
+    build — on a streaming DataFrame it must raise up front (with the
+    remedy named) instead of failing deep inside Spark."""
+    src = str(tmp_path / "stream_src")
+    spark.range(3).select(
+        F.col("id").alias("lid"),
+        F.lit(0).cast("long").alias("s1"),
+        F.lit(10).cast("long").alias("e1"),
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "lid long, s1 long, e1 long"
+    ).parquet(src)
+    batch = spark.range(2).select(
+        F.col("id").alias("rid"),
+        F.lit(0).cast("long").alias("s2"),
+        F.lit(10).cast("long").alias("e2"),
+    )
+    with pytest.raises(ValueError, match="streaming"):
+        interval_overlap_join(
+            stream, batch, "s1", "e1", "s2", "e2",
+            max_fanout_per_row=512,
+        )
+
+
+def test_interval_join_default_guard_off_is_lazy(spark):
+    """With the default (guard off) the builder must stay pure-lazy: no
+    Spark job at plan-build time. Pin via a side that would FAIL if
+    executed (division by zero under ANSI) — plan build must not touch
+    it."""
+    poisoned = spark.range(3).select(
+        F.col("id").alias("lid"),
+        (F.lit(1) / F.lit(0)).cast("long").alias("s1"),
+        F.lit(10).cast("long").alias("e1"),
+    )
+    right = spark.range(2).select(
+        F.col("id").alias("rid"),
+        F.lit(0).cast("long").alias("s2"),
+        F.lit(10).cast("long").alias("e2"),
+    )
+    # must NOT raise: building the plan never runs a job
+    interval_overlap_join(poisoned, right, "s1", "e1", "s2", "e2")
 
 
 def test_interval_join_rejects_bad_on_excess(spark):

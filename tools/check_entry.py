@@ -117,12 +117,30 @@ _CACHE_DIR = os.path.join(
 )
 
 
+def _sf_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the sf_dir parquet files (name, size,
+    mtime_ns per file) so a regenerated testdata tree under the SAME path
+    invalidates the cache instead of serving stale oracle results."""
+    parts = []
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            st = os.stat(os.path.join(sf_dir, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        pass
+    return ";".join(parts)
+
+
 def _oracle_df(con, sql: str, sf_dir: str) -> pd.DataFrame:
-    """DuckDB oracle result, cached by (sf_dir, SQL text) — see module
-    docstring for the validity argument."""
+    """DuckDB oracle result, cached by (sf_dir path + data fingerprint,
+    SQL text) — any SQL edit OR testdata regeneration changes the key."""
     if os.environ.get("SPARK_GRAFT_ORACLE_CACHE", "1") == "0":
         return con.execute(sql).fetchdf()
-    key = hashlib.sha256(f"{sf_dir}||{sql}".encode()).hexdigest()[:32]
+    key = hashlib.sha256(
+        f"{sf_dir}||{_sf_fingerprint(sf_dir)}||{sql}".encode()
+    ).hexdigest()[:32]
     path = os.path.join(_CACHE_DIR, f"{key}.pkl")
     if os.path.exists(path):
         return pd.read_pickle(path)
