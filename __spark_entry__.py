@@ -208,10 +208,14 @@ from audio_feature_extraction_spark.queries.similarityq import (  # noqa: E501
 from audio_feature_extraction_spark.queries.samplingq import (  # noqa: E501
     _q_dataset_split,
     _q_eval_sample,
+    _q_source_mixture,
+    _q_split_decontamination,
     _q_stratified_sample,
     _q_weighted_sample,
     _sql_dataset_split,
     _sql_eval_sample,
+    _sql_source_mixture,
+    _sql_split_decontamination,
     _sql_stratified_sample,
     _sql_weighted_sample,
 )
@@ -405,6 +409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams_by_source": _q_top_ngrams_by_source,
         "windowed_dedup": _q_windowed_dedup,
         "session_token_stats": _q_session_token_stats,
+        # -- new in r06 (land in the tail; rotated into the head at the
+        #    end-of-round rotation so they earn driver-green rows) -----
+        "source_mixture": _q_source_mixture,
+        "split_decontamination": _q_split_decontamination,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -516,4 +524,7 @@ def oracle_sql() -> dict[str, str]:
         # auto routes to IVF on this corpus (sampled kth-cos ~0.3 < 0.75),
         # so the IVF SQL IS the oracle — a routing regression hash-fails
         "ann_auto_topk": _sql_ann_ivf(),
+        # -- new in r06 ------------------------------------------------
+        "source_mixture": _sql_source_mixture(),
+        "split_decontamination": _sql_split_decontamination(),
     }

@@ -47,6 +47,10 @@ __all__ = [
     "stratified_sample",
     "take_per_stratum",
     "pow2_length_bucket",
+    "dyadic_pow",
+    "source_mixture_rates",
+    "source_mixture_resample",
+    "split_decontamination",
 ]
 
 
@@ -406,3 +410,217 @@ def pow2_length_bucket(n_col: Column) -> Column:
     return F.when(n_col <= 0, F.lit(0).cast("long")).otherwise(
         F.pow(F.lit(2.0), exp).cast("long")
     )
+
+
+# ------------------------------------------- source mixing / temperature
+
+
+def dyadic_pow(x: Column, exponent: float) -> Column:
+    """``x ** exponent`` for a DYADIC exponent in [0, 1] (k / 2^m, m <= 12)
+    as a product of nested square roots — bit-reproducible across engines.
+
+    IEEE 754 requires sqrt (and *, /) to be correctly rounded, but NOT
+    pow: libm pow differs by ulps between the JVM (Spark) and DuckDB, and
+    a 1-ulp rate difference can flip a floor()'d acceptance threshold.
+    Writing x^(3/4) as sqrt(x) * sqrt(sqrt(x)) keeps every intermediate
+    correctly rounded, so both engines produce the identical double.
+    Raises for non-dyadic exponents — callers fall back to F.pow and lose
+    the cross-engine bit guarantee (document it when they do)."""
+    from fractions import Fraction
+
+    if not 0.0 <= exponent <= 1.0:
+        raise ValueError(f"exponent must be in [0, 1], got {exponent}")
+    fr = Fraction(exponent)  # exact: float -> binary rational
+    if fr.denominator > 4096:
+        raise ValueError(
+            f"exponent {exponent} is not dyadic with denominator <= 2^12; "
+            "use F.pow and document the cross-engine ulp caveat"
+        )
+    if fr == 0:
+        return F.lit(1.0)
+    out = None
+    cur = x
+    rest = fr
+    level = Fraction(1, 2)
+    while rest > 0:
+        cur = F.sqrt(cur)  # cur = x^(1/2^k) after k iterations
+        if rest >= level:
+            out = cur if out is None else out * cur
+            rest -= level
+        level /= 2
+    return out
+
+
+def dyadic_pow_sql(x_sql: str, exponent: float) -> str:
+    """The SQL-text twin of :func:`dyadic_pow` (same nested-sqrt product),
+    for oracle generation."""
+    from fractions import Fraction
+
+    fr = Fraction(exponent)
+    if not (0 <= fr <= 1) or fr.denominator > 4096:
+        raise ValueError(f"exponent {exponent} not dyadic in [0, 1]")
+    if fr == 0:
+        return "1.0"
+    terms = []
+    cur = x_sql
+    rest = fr
+    level = Fraction(1, 2)
+    while rest > 0:
+        cur = f"sqrt({cur})"
+        if rest >= level:
+            terms.append(cur)
+            rest -= level
+        level /= 2
+    return " * ".join(terms)
+
+
+def source_mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    alpha: float,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-source deterministic acceptance thresholds for temperature
+    resampling: target mixture q_s ∝ p_s^alpha (p_s = natural share), the
+    standard multi-source reweighting of LLM data pipelines (alpha = 1
+    keeps the natural mix; alpha → 0 flattens toward uniform).
+
+    Downsampling only (no duplication): the scale is chosen so the most
+    upweighted source — the SMALLEST, for alpha < 1 — keeps 100%:
+
+        r_s = (q_s / p_s) / max_t (q_t / p_t) = (n_min / n_s)^(1 - alpha)
+
+    and the kept counts k_s = r_s * n_s ∝ n_s^alpha hit the target mixture
+    exactly (up to bucket quantization). Returns one row per source:
+    (source, n_rows, accept_threshold) with threshold = floor(r_s *
+    buckets) — a row is kept iff ``hash_bucket(key) < accept_threshold``.
+
+    Engine-portable by construction: for dyadic alpha the rate is a
+    nested-sqrt product (:func:`dyadic_pow` — every step correctly
+    rounded, so Spark and DuckDB floor the SAME double). One tiny
+    aggregate (n_sources rows) + a single-row broadcast of n_min; the
+    corpus itself is NOT scanned twice by this helper — callers join the
+    returned frame back broadcast.
+
+    Reference analog: per-category corpus composition,
+    `04_feature_extraction_experiment/feature_extractor.py:728-745`.
+    """
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    nmin = counts.agg(F.min("n_rows").alias("_nmin"))
+    rate = dyadic_pow(
+        F.col("_nmin").cast("double") / F.col("n_rows").cast("double"),
+        1.0 - alpha,
+    )
+    return (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(
+            "source",
+            "n_rows",
+            F.floor(rate * F.lit(float(buckets)))
+            .cast("long")
+            .alias("accept_threshold"),
+        )
+    )
+
+
+def source_mixture_resample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature resampling: keep each row iff its key's md5 bucket
+    falls below its source's acceptance threshold (see
+    :func:`source_mixture_rates`). Deterministic (pure hash, no RNG,
+    partition-layout independent) and MONOTONE in the rate: raising a
+    source's rate only ADDS rows, never reshuffles the kept set — so when
+    the corpus grows and the thresholds move, only rows at the threshold
+    margin flip, unlike RNG sampling where the whole sample changes.
+
+    Plan shape: one count aggregate over (source) — column-pruned to a
+    single column at scan — then a broadcast join back on source and a
+    zero-shuffle hash filter. Composes with ``binpack.pack_batches``:
+    resample first, pack the survivors, and packed batches hit the target
+    mixture in expectation."""
+    rates = source_mixture_rates(df, source_col, alpha, buckets)
+    b = hash_bucket(F.col(key_col), buckets)
+    return (
+        df.withColumn("_b", b)
+        .join(
+            F.broadcast(rates.withColumnRenamed("source", "_mix_src")),
+            F.col(source_col) == F.col("_mix_src"),
+        )
+        .where(F.col("_b") < F.col("accept_threshold"))
+        .drop("_b", "_mix_src", "n_rows", "accept_threshold")
+    )
+
+
+def split_decontamination(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    fractions: dict[str, float] | None = None,
+    train_split: str = "train",
+    n: int = 5,
+    min_overlap: int = 2,
+    df_cap: int | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Cross-split decontamination: the integrity gate composing
+    :func:`dataset_split` with the contamination machinery — word-n-gram
+    shingle overlap of TRAIN-split documents against the val/test splits
+    of the SAME corpus (self-contamination across the split boundary; the
+    external-benchmark form is :func:`contamination_overlap`).
+
+    Returns one row per contaminated (eval doc, train doc) pair:
+    ``(eval_<key>, eval_split, train_<key>, shared_shingles)`` with
+    ``shared_shingles`` = DISTINCT n-gram shingles the two docs share,
+    ``>= min_overlap``. Near-duplicate docs that hash-landed on opposite
+    sides of the split boundary are exactly what this surfaces — drop the
+    train member (never the eval member: eval sets must stay stable) or
+    raise ``min_overlap`` for noisy short-shingle corpora.
+
+    Plan shape (100 TB): the split is a zero-shuffle hash projection;
+    both sides shingle via the codegen posexplode/lead plan
+    (:func:`dedup.shingles`, per-doc distinct); the overlap is an
+    inverted-index equi-join on the 60-bit shingle hash — never all-pairs
+    — and one keyed count per pair. The eval split is RE-DERIVED on the
+    output by the same pure hash (no join carries it through). ``df_cap``
+    drops shingle hashes whose TRAIN doc-frequency exceeds the cap
+    (boilerplate floods = join fan-out risk, same insurance as
+    :func:`dedup.duplicated_substring_runs`)."""
+    from audio_feature_extraction_spark.operators.dedup import shingles
+
+    sp = dataset_split(df, key_col, fractions, buckets=buckets, out="_split")
+    train = sp.where(F.col("_split") == train_split)
+    ev = sp.where(F.col("_split") != train_split)
+    tsh = shingles(train, key_col, text_col, n).select(
+        F.col(key_col).alias("_tid"),
+        portable_word_hash(F.col("shingle")).alias("_h"),
+    )
+    esh = shingles(ev, key_col, text_col, n).select(
+        F.col(key_col).alias("_eid"),
+        portable_word_hash(F.col("shingle")).alias("_h"),
+    )
+    if df_cap is not None:
+        hot = tsh.groupBy("_h").agg(
+            F.count(F.lit(1)).alias("_df")
+        ).where(F.col("_df") <= df_cap)
+        tsh = tsh.join(hot.select("_h"), "_h", "left_semi")
+    pairs = (
+        esh.join(tsh, "_h")
+        .groupBy("_eid", "_tid")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= min_overlap)
+    )
+    out_e, out_t = f"eval_{key_col}", f"train_{key_col}"
+    pairs = pairs.select(
+        F.col("_eid").alias(out_e), F.col("_tid").alias(out_t),
+        "shared_shingles",
+    )
+    return dataset_split(
+        pairs, out_e, fractions, buckets=buckets, out="eval_split"
+    ).select(out_e, "eval_split", out_t, "shared_shingles")
