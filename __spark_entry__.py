@@ -239,9 +239,13 @@ from audio_feature_extraction_spark.queries.tokensq import (  # noqa: E501
     _SQL_PACKED_TOKENS,
     _SQL_TOKEN_SLICE,
     _q_binpack_assign,
+    _q_bpe_merges,
+    _q_epoch_shuffle,
     _q_packed_rollup,
     _q_packed_tokens,
     _q_token_slice,
+    _sql_bpe_merges,
+    _sql_epoch_shuffle,
 )
 from audio_feature_extraction_spark.queries.streamsq import (  # noqa: E501
     _SQL_SLIDING_COUNTS,
@@ -413,6 +417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    end-of-round rotation so they earn driver-green rows) -----
         "source_mixture": _q_source_mixture,
         "split_decontamination": _q_split_decontamination,
+        "bpe_merges": _q_bpe_merges,
+        "epoch_shuffle": _q_epoch_shuffle,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -527,4 +533,6 @@ def oracle_sql() -> dict[str, str]:
         # -- new in r06 ------------------------------------------------
         "source_mixture": _sql_source_mixture(),
         "split_decontamination": _sql_split_decontamination(),
+        "bpe_merges": _sql_bpe_merges(),
+        "epoch_shuffle": _sql_epoch_shuffle(),
     }

@@ -141,3 +141,52 @@ def partition_payload_stats(df: DataFrame, payload_col: str = "n_tok") -> DataFr
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col(payload_col).cast("long")).alias("payload"),
     )
+
+
+# ------------------------------------------------- deterministic epoch order
+
+
+def epoch_order_key(seed: int, *cols) -> F.Column:
+    """Seeded deterministic permutation key for training order: the
+    portable md5-60 hash of ``seed:col1:col2:...``. A pure projection —
+    the same (seed, batch identity) maps to the same key on any engine,
+    any partition layout, any corpus size — so an epoch's order is
+    reproducible and resumable, and two seeds give independent
+    permutations. Bit-stable counterpart of ``xxhash64(seed, ...)``
+    (which DuckDB cannot replay)."""
+    from audio_feature_extraction_spark.operators.dedup import (
+        portable_word_hash,
+    )
+
+    parts: list[F.Column] = [F.lit(str(int(seed)))]
+    for c in cols:
+        parts.append(F.lit(":"))
+        parts.append((F.col(c) if isinstance(c, str) else c).cast("string"))
+    return portable_word_hash(F.concat(*parts))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    batch_cols: list[str],
+    num_partitions: int | None = None,
+    out: str = "epoch_key",
+) -> DataFrame:
+    """Deterministic global shuffle for training order WITHOUT a global
+    sort: tag every batch with :func:`epoch_order_key`, range-exchange on
+    the key and sort within partitions — the write-ordered-by plan
+    (RangePartitioning + local sorts; no single-node stage, unlike a bare
+    orderBy that a consumer then repartitions away). Reading partitions
+    in index order replays the epoch's exact permutation; the key rides
+    along in ``out`` so manifests can record it next to the pack
+    fingerprints (see ``queries/tokensq.py::_q_packed_tokens``).
+
+    Two epochs differ only by ``seed``; batches never move between
+    epochs' bins, so the permutation is a pure re-read order — zero
+    re-packing cost."""
+    key = epoch_order_key(seed, *batch_cols)
+    tagged = df.withColumn(out, key)
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return tagged.repartitionByRange(parts, F.col(out)).sortWithinPartitions(
+        out, *batch_cols
+    )

@@ -438,6 +438,10 @@ def dyadic_pow(x: Column, exponent: float) -> Column:
         )
     if fr == 0:
         return F.lit(1.0)
+    if fr == 1:
+        # x^1 = x; the bit loop below only terminates for fr < 1 (1 has
+        # no finite sum of 1/2^k terms)
+        return x
     out = None
     cur = x
     rest = fr
@@ -461,6 +465,8 @@ def dyadic_pow_sql(x_sql: str, exponent: float) -> str:
         raise ValueError(f"exponent {exponent} not dyadic in [0, 1]")
     if fr == 0:
         return "1.0"
+    if fr == 1:
+        return f"({x_sql})"
     terms = []
     cur = x_sql
     rest = fr

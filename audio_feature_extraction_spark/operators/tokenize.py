@@ -1,0 +1,144 @@
+"""BPE tokenizer training: the iterative most-frequent-pair merge loop
+(Sennrich et al. 2016), the one corpus-scale counting loop an LLM data
+stack runs that plain aggregation can't express (VERDICT r05 #3).
+
+Scale shape (100 TB): the corpus is scanned ONCE into a word-frequency
+table — everything after that operates on the VOCABULARY-bounded
+(word, count) frame, never the corpus. Each merge round is two window
+passes + one aggregation over that bounded frame (partitioned per word —
+thousands of tiny groups, embarrassingly parallel), with a
+localCheckpoint per round truncating lineage exactly like the
+connected-components loop (`operators/graph.py`). The per-round driver
+collect is ONE row (the argmax pair) — bounded by construction.
+
+Greedy merge semantics, engine-portably: applying merge (a, b) replaces
+LEFTMOST-FIRST non-overlapping adjacent occurrences. Two candidate
+positions only overlap when they are consecutive, which requires a == b
+(runs of one repeated symbol), so the greedy choice is "keep even
+offsets within each maximal run of consecutive matches" — the pos −
+run_start islands trick, all plain window functions (match flag, run
+start via conditional running max, parity filter, consumed-row drop).
+No higher-order array lambdas (interpreted in Spark) and no per-row
+Python; the DuckDB oracle replays the identical window pipeline as
+unrolled CTEs (`queries/tokensq.py`), so both engines produce
+bit-identical merge tables.
+
+No reference analog (the reference corpus is audio); this is the
+standard subword-vocabulary construction of an LLM pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_word_counts", "bpe_learn", "bpe_merge_round"]
+
+
+def bpe_word_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The ONE corpus pass: whitespace words → (word, cnt). Everything
+    downstream is vocabulary-bounded."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _init_symbols(wc: DataFrame) -> DataFrame:
+    """(word, cnt, pos, s): each word exploded to its character symbols."""
+    return wc.select(
+        "word",
+        "cnt",
+        F.posexplode(F.split(F.col("word"), "")).alias("pos", "s"),
+    )
+
+
+def bpe_merge_round(syms: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply ONE learned merge (a, b) → a||b to the symbol table,
+    greedy-leftmost per word (see module docstring for why run-parity ==
+    greedy). Returns the rebuilt (word, cnt, pos, s) with re-packed
+    positions. Four window passes over the per-word partitioning — the
+    exchange is produced once and reused by all of them."""
+    w = Window.partitionBy("word").orderBy("pos")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = syms.withColumn(
+        "_match",
+        (F.col("s") == F.lit(a)) & (F.lead("s").over(w) == F.lit(b)),
+    )
+    m = m.withColumn("_lmatch", F.lag("_match").over(w))
+    m = m.withColumn(
+        "_run_start",
+        F.max(
+            F.when(
+                F.col("_match") & ~F.coalesce("_lmatch", F.lit(False)),
+                F.col("pos"),
+            )
+        ).over(cum),
+    )
+    m = m.withColumn(
+        "_merged",
+        F.col("_match")
+        & (F.pmod(F.col("pos") - F.col("_run_start"), F.lit(2)) == 0),
+    )
+    m = m.withColumn("_consumed", F.lag("_merged").over(w))
+    kept = m.where(~F.coalesce("_consumed", F.lit(False))).select(
+        "word",
+        "cnt",
+        "pos",
+        F.when(F.col("_merged"), F.concat(F.col("s"), F.lit(b)))
+        .otherwise(F.col("s"))
+        .alias("s"),
+    )
+    return kept.select(
+        "word",
+        "cnt",
+        (F.row_number().over(Window.partitionBy("word").orderBy("pos")) - 1)
+        .alias("pos"),
+        "s",
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus. Returns the merge
+    table as a DataFrame: (merge_round, left_sym, right_sym, merged,
+    pair_count) in learning order — the artifact a tokenizer trainer
+    ships.
+
+    Driver loop like the CC/Lloyd iterations: per round ONE bounded
+    collect (the argmax pair — a single row, tie-broken deterministically
+    by (count DESC, left ASC, right ASC) so any engine and any partition
+    layout learns the same vocabulary) and one eager localCheckpoint of
+    the vocabulary-bounded symbol table to truncate lineage. Stops early
+    when no adjacent pair remains (all words fully merged)."""
+    spark = df.sparkSession
+    syms = _init_symbols(bpe_word_counts(df, text_col)).localCheckpoint()
+    w = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        top = (
+            syms.withColumn("_b", F.lead("s").over(w))
+            .where(F.col("_b").isNotNull())
+            .groupBy(F.col("s").alias("a"), F.col("_b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((r, a, b, a + b, n))
+        syms = bpe_merge_round(syms, a, b).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )

@@ -180,3 +180,169 @@ SELECT source, bin_id,
   md5(string_agg(csv, ',' ORDER BY doc_id, seq)) AS pack_md5
 FROM packed GROUP BY source, bin_id
 """
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer-training merge loop (VERDICT r05 #3)
+# --------------------------------------------------------------------------
+
+_BPE_N_MERGES = 8
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary learning over the documents corpus: 8 iterative
+    most-frequent-adjacent-pair merges (operators/tokenize.py). ONE corpus
+    scan into the word-frequency table; every merge round is window math
+    over the vocabulary-bounded symbol table with a deterministic
+    (count DESC, left, right) argmax — the DuckDB oracle replays all 8
+    rounds as unrolled CTEs (the ann_recall_fitted pattern)."""
+    from audio_feature_extraction_spark.operators.tokenize import bpe_learn
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_learn(d, "text", _BPE_N_MERGES)
+
+def _round_cte(r: int) -> str:
+    """One unrolled greedy-merge round: s{r} from s{r-1} + t{r} (the
+    argmax pair). Window layers are stacked subqueries (windows cannot
+    nest); positions re-pack each round so row-adjacency == pos-adjacency
+    for the run-parity greedy rule."""
+    a, b = f"(SELECT a FROM t{r})", f"(SELECT b FROM t{r})"
+    return f"""
+s{r} AS MATERIALIZED (
+  SELECT word, cnt,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos, s
+  FROM (
+    SELECT word, cnt, pos,
+           CASE WHEN _merged THEN s || {b} ELSE s END AS s,
+           lag(_merged) OVER (PARTITION BY word ORDER BY pos) AS _consumed
+    FROM (
+      SELECT *, (_match AND (pos - _run_start) % 2 = 0) AS _merged
+      FROM (
+        SELECT *,
+          MAX(CASE WHEN _match AND NOT coalesce(_lmatch, FALSE)
+                   THEN pos END)
+            OVER (PARTITION BY word ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS _run_start
+        FROM (
+          SELECT *,
+            lag(_match) OVER (PARTITION BY word ORDER BY pos) AS _lmatch
+          FROM (
+            SELECT word, cnt, pos, s,
+              (s = {a} AND
+               lead(s) OVER (PARTITION BY word ORDER BY pos) = {b})
+                AS _match
+            FROM s{r - 1}))))) 
+  WHERE NOT coalesce(_consumed, FALSE))"""
+
+def _sql_bpe_merges() -> str:
+    ctes = [
+        """wc AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0 GROUP BY 1)""",
+        """s0 AS MATERIALIZED (
+  SELECT word, cnt, i - 1 AS pos, substr(word, i, 1) AS s
+  FROM wc, LATERAL unnest(generate_series(1, len(word))) AS u(i))""",
+    ]
+    outs = []
+    for r in range(1, _BPE_N_MERGES + 1):
+        ctes.append(f"""t{r} AS MATERIALIZED (
+  SELECT a, b, SUM(cnt) AS n
+  FROM (SELECT word, cnt, s AS a,
+               lead(s) OVER (PARTITION BY word ORDER BY pos) AS b
+        FROM s{r - 1})
+  WHERE b IS NOT NULL GROUP BY 1, 2
+  ORDER BY n DESC, a, b LIMIT 1)""")
+        if r < _BPE_N_MERGES:
+            ctes.append(_round_cte(r).strip())
+        outs.append(
+            f"SELECT CAST({r} AS INTEGER) AS merge_round, a AS left_sym, "
+            f"b AS right_sym, a || b AS merged, CAST(n AS BIGINT) AS "
+            f"pair_count FROM t{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(outs)
+
+
+# --------------------------------------------------------------------------
+# deterministic epoch shuffle of packed batches (VERDICT r05 #6)
+# --------------------------------------------------------------------------
+
+_EPOCH_SEEDS = (41, 42)
+_EPOCH_K = 12
+
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded training-order permutation of the packed batches: per seed,
+    the first K batches in md5(seed:source:bin) order — the epoch replay
+    manifest. The rank window orders by (key, source, bin_id); Spark 4's
+    map-side WindowGroupLimit prunes to K per task, so no task ever sorts
+    more than K rows (the same shape as top_ngrams_by_source)."""
+    from pyspark.sql import Window
+    from audio_feature_extraction_spark.operators.binpack import (
+        epoch_order_key,
+    )
+
+    seq = _sequences_from_events(spark, sf_dir)
+    packed = with_bin_id(
+        seq,
+        payload_col="n_tok",
+        order_cols=["doc_id", "seq"],
+        group_cols=["source"],
+        target_payload_per_bin=PACK_CAP,
+        mix=False,
+        out="bin_id",
+    )
+    batches = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tok").cast("long").alias("batch_tokens")
+    )
+    parts = []
+    for seed in _EPOCH_SEEDS:
+        key = epoch_order_key(seed, "source", "bin_id")
+        w = Window.orderBy("order_key", "source", "bin_id")
+        parts.append(
+            batches.withColumn("order_key", key)
+            .withColumn("epoch_rank", F.row_number().over(w))
+            .where(F.col("epoch_rank") <= _EPOCH_K)
+            .select(
+                F.lit(seed).cast("int").alias("seed"),
+                F.col("epoch_rank").cast("int").alias("epoch_rank"),
+                "source",
+                F.col("bin_id").cast("int").alias("bin_id"),
+                "batch_tokens",
+                "order_key",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+def _sql_epoch_shuffle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || source "
+        "|| ':' || CAST(bin_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    seeds = ", ".join(f"({s})" for s in _EPOCH_SEEDS)
+    return f"""
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(event_id AS INT) AS seq,
+         CAST(event_id % 31 + 2 AS INT) AS n_tok,
+         'src' || CAST(user_id % 4 AS VARCHAR) AS source
+  FROM events),
+packed AS (
+  SELECT *,
+    CAST(FLOOR(GREATEST(SUM(n_tok) OVER (PARTITION BY source
+                                 ORDER BY doc_id, seq
+                                 ROWS UNBOUNDED PRECEDING) - 1, 0)
+/ {PACK_CAP}) AS INT) AS bin_id
+  FROM s),
+batches AS (
+  SELECT source, bin_id, CAST(SUM(n_tok) AS BIGINT) AS batch_tokens
+  FROM packed GROUP BY 1, 2),
+keyed AS (
+  SELECT seed, source, bin_id, batch_tokens, {h} AS order_key
+  FROM batches, (VALUES {seeds}) AS sd(seed)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY seed
+                               ORDER BY order_key, source, bin_id) AS rk
+  FROM keyed)
+SELECT CAST(seed AS INTEGER) AS seed, CAST(rk AS INTEGER) AS epoch_rank,
+       source, bin_id, batch_tokens, order_key
+FROM ranked WHERE rk <= {_EPOCH_K}
+"""

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from audio_feature_extraction_spark.session import get_spark  # noqa: E402
-from tools.hostcond import HostWindow  # noqa: E402
+from tools.hostcond import HostWindow, window_noisy  # noqa: E402
 
 # a pass whose measured steal% exceeds this is suspect: up to MAX_PASSES
 # total passes run (min-of-all kept per query) and every pass's host
@@ -31,6 +31,10 @@ from tools.hostcond import HostWindow  # noqa: E402
 # 0.6%-steal window minutes later, so 5% was far too lax.
 STEAL_THRESHOLD_PCT = 2.0
 MAX_PASSES = 3
+# the flagship number is a single measurement, so it gets a deeper retry
+# budget: the r05 driver run kept a 6.78%-steal window because all 3
+# retries were noisy (VERDICT r05 #5)
+FLAGSHIP_MAX_PASSES = 6
 
 # The headline IS the driver-gated head-50 (VERDICT r04 #6): derived from
 # the registry, not a hand-maintained copy, so the bench and correctness
@@ -109,11 +113,15 @@ def main() -> None:
             times_max[name] = round(max(worst, times_max.get(name, worst)), 3)
         cond = hw.stop()
         cond["pass_sec"] = round(time.time() - t_pass, 3)
-        host_passes.append(cond)
         # retry the whole headline loop only when the measured window was
-        # noisy — the published result is then min across passes, with every
-        # pass's host condition in the JSON for the reader to audit
-        if cond["steal_pct"] <= STEAL_THRESHOLD_PCT:
+        # noisy (steal OR calibration drift >20% within the pass — the r05
+        # driver window fell 1221.6→850.0 Mops/s at 1.35% steal, so steal
+        # alone is an insufficient trigger) — the published result is then
+        # min across passes, with every pass's condition + the trigger that
+        # fired in the JSON for the reader to audit
+        cond["noisy"] = window_noisy(cond, STEAL_THRESHOLD_PCT)
+        host_passes.append(cond)
+        if not cond["noisy"]:
             break
 
     # flagship throughput: tokens emitted per second through the full
@@ -130,16 +138,17 @@ def main() -> None:
     # why: a 9.8%-steal window cut the headline tokens/s by a third): re-run
     # on steal, keep the min, publish every window's condition
     pipe_sec, pipe_conds = float("inf"), []
-    for _ in range(MAX_PASSES):
+    for _ in range(FLAGSHIP_MAX_PASSES):
         hw_pipe = HostWindow().start()
         t0 = time.time()
         out.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         cond = hw_pipe.stop()
         cond["pipeline_sec"] = round(dt, 3)
+        cond["noisy"] = window_noisy(cond, STEAL_THRESHOLD_PCT)
         pipe_conds.append(cond)
         pipe_sec = min(pipe_sec, dt)
-        if cond["steal_pct"] <= STEAL_THRESHOLD_PCT:
+        if not cond["noisy"]:
             break
     pipe_cond = pipe_conds
     total_tokens = out.agg(F.sum(F.size("tokens"))).collect()[0][0] or 0

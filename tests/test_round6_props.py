@@ -199,3 +199,188 @@ def test_split_decontamination_df_cap_drops_boilerplate(spark):
         df, "doc_id", "text", n=5, min_overlap=1, df_cap=2
     )
     assert capped.count() == 0
+
+
+# ----------------------------------------------------------------- BPE
+
+
+def _py_bpe(texts, n):
+    """Independent reference BPE (Sennrich greedy-leftmost merge)."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split() if w)
+    syms = {w: list(w) for w in wc}
+    merges = []
+    for r in range(1, n + 1):
+        pc = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n_ = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, a, b, a + b, n_))
+        for w in syms:
+            s = syms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_learn_matches_reference_implementation(spark):
+    from audio_feature_extraction_spark.operators.tokenize import bpe_learn
+
+    texts = [
+        "low lower lowest low low newer newest new",
+        "wider wide wide widest new newer low",
+        "the the the low deep deeper deepest",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = [tuple(r) for r in bpe_learn(df, "text", 8).collect()]
+    assert got == _py_bpe(texts, 8)
+
+
+def test_bpe_greedy_run_semantics(spark):
+    """Greedy-leftmost on repeated-symbol runs: 'aaaa' merges to (aa)(aa),
+    'aaa' to (aa)a — the run-parity islands rule."""
+    from audio_feature_extraction_spark.operators.tokenize import (
+        bpe_merge_round,
+        bpe_word_counts,
+        _init_symbols,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["aaaa aaa baaa"]})
+    )
+    syms = _init_symbols(bpe_word_counts(df, "text"))
+    out = bpe_merge_round(syms, "a", "a")
+    got = {
+        r["word"]: r["ss"]
+        for r in out.groupBy("word")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("p"))
+        .select("word", F.transform("p", lambda x: x["s"]).alias("ss"))
+        .collect()
+    }
+    assert got == {
+        "aaaa": ["aa", "aa"],
+        "aaa": ["aa", "a"],
+        "baaa": ["b", "aa", "a"],
+    }
+
+
+def test_bpe_partitioning_invariance(spark):
+    """Same merges learned at any parallelism (the deterministic argmax
+    tie-break contract)."""
+    from audio_feature_extraction_spark.operators.tokenize import bpe_learn
+
+    texts = ["ab ab abc abd", "xy xy xyz ab"]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    a = [tuple(r) for r in bpe_learn(df.repartition(1), "text", 4).collect()]
+    b = [tuple(r) for r in bpe_learn(df.repartition(7), "text", 4).collect()]
+    assert a == b == _py_bpe(texts, 4)
+
+
+def test_bpe_early_stop_when_fully_merged(spark):
+    from audio_feature_extraction_spark.operators.tokenize import bpe_learn
+
+    df = spark.createDataFrame(pd.DataFrame({"text": ["ab ab ab"]}))
+    got = bpe_learn(df, "text", 10).collect()
+    assert len(got) == 1  # one merge fuses 'ab'; nothing left to merge
+    assert (got[0]["left_sym"], got[0]["right_sym"]) == ("a", "b")
+
+
+# -------------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark):
+    from audio_feature_extraction_spark.operators.binpack import (
+        epoch_order_key,
+        epoch_shuffle,
+    )
+
+    batches = spark.createDataFrame(
+        pd.DataFrame(
+            {"source": [f"s{i % 4}" for i in range(64)],
+             "bin_id": [i // 4 for i in range(64)]}
+        )
+    )
+    o41 = [
+        (r["source"], r["bin_id"])
+        for r in batches.withColumn(
+            "k", epoch_order_key(41, "source", "bin_id")
+        ).orderBy("k", "source", "bin_id").collect()
+    ]
+    o42 = [
+        (r["source"], r["bin_id"])
+        for r in batches.withColumn(
+            "k", epoch_order_key(42, "source", "bin_id")
+        ).orderBy("k", "source", "bin_id").collect()
+    ]
+    # permutations of the same multiset, different order per seed
+    assert sorted(o41) == sorted(o42)
+    assert o41 != o42
+
+    # epoch_shuffle's partition-concatenated order == the global key order
+    shuf = epoch_shuffle(batches, 41, ["source", "bin_id"], num_partitions=4)
+    per_part = shuf.rdd.glom().collect()
+    flat = [
+        (row["source"], row["bin_id"]) for part in per_part for row in part
+    ]
+    assert flat == o41
+    # and is partition-layout independent
+    shuf2 = epoch_shuffle(
+        batches.repartition(13), 41, ["source", "bin_id"], num_partitions=4
+    )
+    flat2 = [
+        (row["source"], row["bin_id"])
+        for part in shuf2.rdd.glom().collect()
+        for row in part
+    ]
+    assert flat2 == o41
+
+
+# ------------------------------------------------- bench noise triggers
+
+
+def test_window_noisy_triggers():
+    """VERDICT r05 #5: calibration drift must trigger a re-run even at
+    zero steal (the r05 driver pass: 1221.6 -> 850.0 at 1.35% steal)."""
+    from tools.hostcond import window_noisy
+
+    base = {"steal_pct": 0.5, "cpu_score_start": 1000.0,
+            "cpu_score_end": 990.0}
+    assert window_noisy(base, 2.0) == ""
+    assert window_noisy({**base, "steal_pct": 6.8}, 2.0) == "steal"
+    # the r05 driver pass numbers: >20% drift at low steal
+    drifted = {"steal_pct": 1.35, "cpu_score_start": 1221.6,
+               "cpu_score_end": 850.0}
+    assert window_noisy(drifted, 2.0) == "cal_drift"
+    # symmetric: a ramp UP is just as suspect for min-keeping
+    assert window_noisy(
+        {**base, "cpu_score_start": 700.0, "cpu_score_end": 1000.0}, 2.0
+    ) == "cal_drift"
+
+
+def test_hostwindow_forced_noise(monkeypatch):
+    """Forced-noise path: SPARK_GRAFT_FAKE_CPU_SCORES drives the window's
+    calibration scores so the trigger fires deterministically — the hook
+    bench.py's host block exercises."""
+    import tools.hostcond as hc
+
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_CPU_SCORES", "1221.6,850.0")
+    monkeypatch.setattr(hc, "_FAKE_SCORE_IDX", 0)
+    hw = hc.HostWindow().start()
+    cond = hw.stop()
+    assert cond["cpu_score_start"] == 1221.6
+    assert cond["cpu_score_end"] == 850.0
+    assert hc.window_noisy(cond, steal_threshold_pct=100.0) == "cal_drift"

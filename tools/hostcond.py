@@ -12,6 +12,8 @@ without re-deriving the argument.
 
 from __future__ import annotations
 
+_FAKE_SCORE_IDX = 0  # test hook cursor, see cpu_score
+
 
 def cpu_sample() -> tuple[int, int, int]:
     """(total_jiffies, idle_jiffies, steal_jiffies) from /proc/stat's
@@ -35,10 +37,25 @@ def cpu_score(n: int = 2_000_000, reps: int = 5) -> float:
     taking our vCPU; this also catches host FREQUENCY drift (the sandbox
     documents ~2x minute-to-minute CPU-speed swings), so two rounds'
     timings can be normalized instead of argued about. Best-of-reps
-    because the score itself can eat a steal spike."""
+    because the score itself can eat a steal spike.
+
+    Test hook: SPARK_GRAFT_FAKE_CPU_SCORES (comma-separated floats,
+    consumed in order) substitutes the measured score so the bench's
+    noisy-window re-run triggers can be forced deterministically in a
+    unit test (VERDICT r05 #5 'forced-noise test'). Never set outside
+    tests."""
+    import os
     import time
 
     import numpy as np
+
+    fake = os.environ.get("SPARK_GRAFT_FAKE_CPU_SCORES")
+    if fake:
+        global _FAKE_SCORE_IDX
+        vals = [float(v) for v in fake.split(",")]
+        v = vals[min(_FAKE_SCORE_IDX, len(vals) - 1)]
+        _FAKE_SCORE_IDX += 1
+        return v
 
     x = np.arange(n, dtype=np.float64)
     best = float("inf")
@@ -72,3 +89,28 @@ class HostWindow:
             "cpu_score_start": self.cpu_score_start,
             "cpu_score_end": cpu_score(),
         }
+
+
+# a pass whose single-thread calibration score moved more than this
+# (relative, start→end) is suspect even at zero steal: the r05 driver
+# bench fell 1221.6 → 850.0 Mops/s within one pass at 1.35% steal —
+# frequency drift the steal counter cannot see (VERDICT r05 #5).
+CAL_DRIFT_PCT = 20.0
+
+
+def window_noisy(
+    cond: dict,
+    steal_threshold_pct: float,
+    cal_drift_pct: float = CAL_DRIFT_PCT,
+) -> str:
+    """'' when the window was quiet, else the re-run trigger that fired:
+    'steal' (hypervisor took the vCPU) or 'cal_drift' (single-thread
+    calibration moved > cal_drift_pct start→end — frequency drift)."""
+    if cond["steal_pct"] > steal_threshold_pct:
+        return "steal"
+    s0, s1 = cond["cpu_score_start"], cond["cpu_score_end"]
+    if min(s0, s1) <= 0:
+        return "cal_drift"
+    if 100.0 * abs(s0 - s1) / max(s0, s1) > cal_drift_pct:
+        return "cal_drift"
+    return ""
