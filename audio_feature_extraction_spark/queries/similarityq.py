@@ -662,3 +662,178 @@ nq AS (SELECT COUNT(*) AS n_queries FROM vp WHERE vec_id >= 100000),
 {joined}
 {finals}
 """
+
+
+# --------------------------------------------------------------------------
+# fitted IVF in the regime it is FOR: a clustered corpus (VERDICT r05 #4)
+# --------------------------------------------------------------------------
+
+CLUSTER_CENTERS = 8
+CLUSTER_NPROBES = (2, 4)
+
+def _clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic planted-CLUSTER corpus (the ann_recall_neardup
+    pattern, for IVF): vector i becomes center(i % 8) + 0.5·v_i, where the
+    centers are the first 8 raw embeddings — within-cluster cos ≈ 0.83,
+    cross ≈ 0, i.e. the geometry of real (non-random) embedding corpora.
+    Pure broadcast join + zip_with; bit-identical in DuckDB (double
+    mul/add only)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    centers = emb.where(F.col("vec_id") < CLUSTER_CENTERS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    return emb.join(
+        F.broadcast(centers),
+        F.pmod(F.col("vec_id"), F.lit(CLUSTER_CENTERS)) == F.col("cid"),
+    ).select(
+        "vec_id",
+        F.zip_with("ce", "e", lambda c, x: c + F.lit(0.5) * x).alias(
+            "embedding"
+        ),
+    )
+
+def _q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted-IVF operating point in the regime IVF is FOR (VERDICT
+    r05 #4): on the planted-cluster corpus the SAME fit machinery
+    (data-point init + 2 Lloyd rounds, 16 cells) reaches recall@10 ≥ 0.9
+    at nprobe=2 while scoring < 25% of the corpus (~19% at sf0.01, ~14%
+    at sf0.1) and 1.00 at nprobe=4 (~30%) — and the scanned fraction is
+    part of the GATED result (n_scanned = corpus rows in the probed
+    cells minus the query itself, scan_frac = n_scanned / n), not a
+    docstring claim. Together with ann_recall_fitted (the honest
+    weak-regime curve: ~0.5 at 25% on near-random vectors, where
+    recall ≈ 2× scan fraction is the geometry bound — a neighbor at
+    cos ≈ 0.3 is nearly independent of the query's cell ordering),
+    this pins BOTH ends of the IVF answer-quality story."""
+    embc = _clustered_corpus(spark, sf_dir).persist()
+    cents = _S.fit_ivf_centroids(
+        embc, "embedding", n_cells=IVF_CELLS, dim=64, seed=IVF_SEED,
+        rounds=IVF_FIT_ROUNDS, init="data",
+    )
+    queries = embc.where(F.col("vec_id") < 10)
+    gt = _S.brute_force_topk_arrow(embc, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    base = gt.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    n = embc.count()
+    cell_counts = (
+        _S.with_ivf_cell(embc, "embedding", centroids=cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    arr = _S._cell_structs_sql(
+        'CAST(embedding AS ARRAY<DOUBLE>)', cents
+    )
+    parts = []
+    for np_ in CLUSTER_NPROBES:
+        fit = _S.ivf_topk(
+            embc, queries, k=10, n_cells=IVF_CELLS, nprobe=np_,
+            seed=IVF_SEED, centroids=cents,
+        )
+        hits = (
+            fit.select("query_id", "neighbor_id")
+            .join(gt, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        probes = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.expr(f"slice(array_sort({arr}), 1, {np_})")
+            ).alias("_p"),
+        ).select("query_id", F.col("_p.c").alias("cell"))
+        scanned = (
+            probes.join(F.broadcast(cell_counts), "cell")
+            .groupBy("query_id")
+            .agg((F.sum("cc") - F.lit(1)).cast("long").alias("n_scanned"))
+        )
+        parts.append(
+            base.join(hits, "query_id", "left")
+            .join(scanned, "query_id")
+            .select(
+                F.lit(f"ivf_clustered_np{np_}").alias("method"),
+                "query_id",
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                (F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("k"))
+                .alias("recall_at_k"),
+                "n_scanned",
+                (F.col("n_scanned").cast("double") / F.lit(float(n)))
+                .alias("scan_frac"),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+def _sql_ann_recall_clustered() -> str:
+    """DuckDB twin: the clustered corpus as the ``v`` CTE (so the SAME
+    unrolled Lloyd chain `_sql_lloyd_ctes` fits it), brute-force gt over
+    v, and per-nprobe hit + scanned-cell CTEs."""
+    cn = f"c{IVF_FIT_ROUNDS}"
+    per_np, finals = [], []
+    for np_ in CLUSTER_NPROBES:
+        per_np.append(f"""q{np_} AS (SELECT vec_id AS query_id, e AS qe, cell FROM qp
+      WHERE rn <= {np_}),
+scored{np_} AS (SELECT q.query_id, corp.neighbor_id,
+    list_sum(list_transform(list_zip(q.qe, corp.e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+       * sqrt(list_sum(list_transform(corp.e, x -> x * x)))) AS cos
+  FROM corp JOIN q{np_} q ON corp.cell = q.cell
+  WHERE corp.neighbor_id != q.query_id),
+ranked{np_} AS (SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+      AS rank
+  FROM scored{np_}),
+h{np_} AS (SELECT f.query_id, COUNT(*) AS n_hit
+      FROM (SELECT query_id, neighbor_id FROM ranked{np_} WHERE rank <= 10) f
+      JOIN gt ON f.query_id = gt.query_id
+             AND f.neighbor_id = gt.neighbor_id
+      GROUP BY 1),
+scan{np_} AS (SELECT query_id, SUM(cc) - 1 AS n_scanned
+      FROM q{np_} JOIN cellcounts USING (cell) GROUP BY 1)""")
+        finals.append(f"""SELECT 'ivf_clustered_np{np_}' AS method, base.query_id,
+       CAST(COALESCE(h{np_}.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h{np_}.n_hit, 0) AS DOUBLE) / base.k AS recall_at_k,
+       CAST(scan{np_}.n_scanned AS BIGINT) AS n_scanned,
+       CAST(scan{np_}.n_scanned AS DOUBLE) / nn.n AS scan_frac
+FROM base
+LEFT JOIN h{np_} ON base.query_id = h{np_}.query_id
+JOIN scan{np_} ON base.query_id = scan{np_}.query_id
+CROSS JOIN nn""")
+    blocks = ",\n".join(per_np)
+    final = "\nUNION ALL\n".join(finals)
+    return f"""
+WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+v AS (SELECT v0.vec_id,
+        list_transform(list_zip(c.ce, v0.e), x -> x[1] + 0.5 * x[2]) AS e
+      FROM v0 JOIN (SELECT vec_id AS cid, e AS ce FROM v0
+                    WHERE vec_id < {CLUSTER_CENTERS}) c
+        ON v0.vec_id % {CLUSTER_CENTERS} = c.cid),
+{_sql_lloyd_ctes(IVF_FIT_ROUNDS)},
+corp AS (
+  SELECT vec_id AS neighbor_id, e,
+         min(struct_pack(d := d, c := cell)).c AS cell
+  FROM (SELECT v.vec_id, v.e, c.cell, {_sql_d('c')} AS d
+        FROM v CROSS JOIN {cn} c) s
+  GROUP BY vec_id, e),
+cellcounts AS (SELECT cell, COUNT(*) AS cc FROM corp GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+qp AS (SELECT vec_id, e, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       FROM (SELECT v.vec_id, v.e, c.cell, {_sql_d('c')} AS d
+             FROM v CROSS JOIN {cn} c WHERE v.vec_id < 10) s),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        ROUND(list_sum(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2]))
+          / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+           * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 6) DESC,
+        c.vec_id) AS rank
+    FROM v c CROSS JOIN (SELECT * FROM v WHERE vec_id < 10) q
+    WHERE c.vec_id != q.vec_id) r
+  WHERE rank <= 10),
+base AS (SELECT query_id, COUNT(*) AS k FROM gt GROUP BY 1),
+{blocks}
+{final}
+"""
