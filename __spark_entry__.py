@@ -325,19 +325,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "ann_recall_fitted": _q_ann_recall_fitted,
         "ann_auto_topk": _q_ann_auto_topk,
-        "dataset_split": _q_dataset_split,
-        "emb_dedup_clusters": _q_emb_dedup_clusters,
-        # windowed_dedup (driver-green r04; dedup family keeps 4 head
-        # canaries) rotated to the tail for this one
         "doc_perplexity": _q_doc_perplexity,
-        # session_token_stats (driver-green r04; sessionize +
-        # session_overlap keep the family) rotated out for this one
-        "ann_recall_neardup": _q_ann_recall_neardup,
+        # -- new in r06 (never driver-hashed): rotated into the head over
+        #    dataset_split / emb_dedup_clusters / ann_recall_neardup /
+        #    tfidf_topterms / cms_freq (all driver-green r05; families
+        #    keep canaries: stratified/eval/weighted_sample + the
+        #    composing source_mixture/split_decontamination for sampling,
+        #    dedup_clusters for CC, ann_recall/fitted/auto for ANN,
+        #    text_features/bm25/bigram_lm for text, hll/bloom/quantiles/
+        #    key_skew for sketches)
+        "source_mixture": _q_source_mixture,
+        "split_decontamination": _q_split_decontamination,
+        "bpe_merges": _q_bpe_merges,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "ann_recall_clustered": _q_ann_recall_clustered,
         # -- new in r04 ----------------------------------------------------
         "trend_slope": _q_trend_slope,
         "ann_recall": _q_ann_recall,
         "bm25_scores": _q_bm25_scores,
-        "tfidf_topterms": _q_tfidf_topterms,
         # -- r05 rotation: bigram_lm (landed after the final r04
         #    rotation, the one query never driver-hashed) enters the
         #    head; trend_fit (driver-green r04, trend_slope canary
@@ -347,7 +352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "weighted_sample": _q_weighted_sample,
         "key_skew": _q_key_skew,
-        "cms_freq": _q_cms_freq,
         "bloom_prune": _q_bloom_prune,
         "session_overlap": _q_session_overlap,
         "drift_psi": _q_drift_psi,
@@ -415,13 +419,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams_by_source": _q_top_ngrams_by_source,
         "windowed_dedup": _q_windowed_dedup,
         "session_token_stats": _q_session_token_stats,
-        # -- new in r06 (land in the tail; rotated into the head at the
-        #    end-of-round rotation so they earn driver-green rows) -----
-        "source_mixture": _q_source_mixture,
-        "split_decontamination": _q_split_decontamination,
-        "bpe_merges": _q_bpe_merges,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "ann_recall_clustered": _q_ann_recall_clustered,
+        # -- rotated out in r06 (driver-green r05; family canaries
+        #    retained in the head — see the r06 note above) -----------
+        "dataset_split": _q_dataset_split,
+        "emb_dedup_clusters": _q_emb_dedup_clusters,
+        "ann_recall_neardup": _q_ann_recall_neardup,
+        "tfidf_topterms": _q_tfidf_topterms,
+        "cms_freq": _q_cms_freq,
     }
 
 def oracle_sql() -> dict[str, str]:

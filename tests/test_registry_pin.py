@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 105
+PINNED_N = 110
 PINNED_CONTENT_SHA = (
-    "ce6b0450cfec5f72d2fc2a8bdce59dc19f1d195440955128ae53ada48c2c9c44"
+    "01b93a36064dc69f2776812c3a4a359ddffbacf33b529769ca66b49ba3ec3388"
 )
 PINNED_SHA = (
-    "4685c59dcb934c33b0be1f68404e49bf418fb06964c7b1d32fe3b88ba8b8651a"
+    "81fb6cd7fc46187aa6cc83d2d9807b898d85e71a8eebd7800b7e8716ae30a0f5"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats",
@@ -35,22 +35,16 @@ PINNED_HEAD = [
     "doc_repetition", "contamination", "stratified_sample",
     "json_props",
     "ann_topk_arrow", "packed_tokens", "eval_sample",
-    # new in r05: rotated in over asof_nearest / dedup_clusters_star /
-    # unigram_surprisal / dedup_containment / top_ngrams_by_source
-    # (driver-green r04, family canaries retained)
     "substring_dedup", "ann_recall_fitted", "ann_auto_topk",
-    "dataset_split", "emb_dedup_clusters", "doc_perplexity",
-    "ann_recall_neardup",
+    "doc_perplexity",
+    # new in r06: rotated in over dataset_split / emb_dedup_clusters /
+    # ann_recall_neardup / tfidf_topterms / cms_freq (driver-green r05,
+    # family canaries retained — see __spark_entry__.py)
+    "source_mixture", "split_decontamination", "bpe_merges",
+    "epoch_shuffle", "ann_recall_clustered",
     "trend_slope",
-    # r05 rotation: bigram_lm in (the one never-driver-hashed query,
-    # VERDICT r04 #1), trend_fit out (driver-green r04, trend_slope
-    # canary retained)
-    "ann_recall", "bm25_scores", "tfidf_topterms", "bigram_lm",
-    # late-r04 additions, rotated in for the r04 driver hash (the 9
-    # rotated out — percentiles, rolling_median, running_totals,
-    # ann_ivf/lsh_topk, band_join, length_buckets, token_vocab,
-    # packed_rollup — are driver-green in r01-r03)
-    "hll_distinct", "weighted_sample", "key_skew", "cms_freq",
+    "ann_recall", "bm25_scores", "bigram_lm",
+    "hll_distinct", "weighted_sample", "key_skew",
     "bloom_prune", "session_overlap", "drift_psi", "approx_quantiles",
     "zorder_prune",
 ]
