@@ -242,11 +242,13 @@ from audio_feature_extraction_spark.queries.tokensq import (  # noqa: E501
     _SQL_TOKEN_SLICE,
     _q_binpack_assign,
     _q_bpe_merges,
+    _q_bpe_vocab_stats,
     _q_epoch_shuffle,
     _q_packed_rollup,
     _q_packed_tokens,
     _q_token_slice,
     _sql_bpe_merges,
+    _sql_bpe_vocab_stats,
     _sql_epoch_shuffle,
 )
 from audio_feature_extraction_spark.queries.streamsq import (  # noqa: E501
@@ -337,6 +339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": _q_source_mixture,
         "split_decontamination": _q_split_decontamination,
         "bpe_merges": _q_bpe_merges,
+        # bpe_vocab_stats (late r06): weighted_sample (driver-green
+        # r04+r05; sampling keeps stratified/eval + the two new r06
+        # composition queries) rotated out for it
+        "bpe_vocab_stats": _q_bpe_vocab_stats,
         "epoch_shuffle": _q_epoch_shuffle,
         "ann_recall_clustered": _q_ann_recall_clustered,
         # -- new in r04 ----------------------------------------------------
@@ -350,7 +356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         # -- late r04 additions, rotated in for the r04 driver hash ---
         "hll_distinct": _q_hll_distinct,
-        "weighted_sample": _q_weighted_sample,
         "key_skew": _q_key_skew,
         "bloom_prune": _q_bloom_prune,
         "session_overlap": _q_session_overlap,
@@ -426,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_neardup": _q_ann_recall_neardup,
         "tfidf_topterms": _q_tfidf_topterms,
         "cms_freq": _q_cms_freq,
+        "weighted_sample": _q_weighted_sample,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -543,4 +549,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _sql_bpe_merges(),
         "epoch_shuffle": _sql_epoch_shuffle(),
         "ann_recall_clustered": _sql_ann_recall_clustered(),
+        "bpe_vocab_stats": _sql_bpe_vocab_stats(),
     }

@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_word_counts", "bpe_learn", "bpe_merge_round"]
+__all__ = [
+    "bpe_word_counts",
+    "bpe_learn",
+    "bpe_merge_round",
+    "bpe_encode_words",
+]
 
 
 def bpe_word_counts(
@@ -106,6 +111,7 @@ def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
+    with_symbols: bool = False,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus. Returns the merge
     table as a DataFrame: (merge_round, left_sym, right_sym, merged,
@@ -117,7 +123,12 @@ def bpe_learn(
     by (count DESC, left ASC, right ASC) so any engine and any partition
     layout learns the same vocabulary) and one eager localCheckpoint of
     the vocabulary-bounded symbol table to truncate lineage. Stops early
-    when no adjacent pair remains (all words fully merged)."""
+    when no adjacent pair remains (all words fully merged).
+
+    ``with_symbols=True`` also returns the post-merge symbol table
+    (word, cnt, pos, s) — the learned tokenization of the vocabulary,
+    already materialized by the loop (zero extra work; this is what
+    :func:`bpe_encode_words` recomputes for a FOREIGN word table)."""
     spark = df.sparkSession
     syms = _init_symbols(bpe_word_counts(df, text_col)).localCheckpoint()
     w = Window.partitionBy("word").orderBy("pos")
@@ -137,8 +148,30 @@ def bpe_learn(
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((r, a, b, a + b, n))
         syms = bpe_merge_round(syms, a, b).localCheckpoint()
-    return spark.createDataFrame(
+    mdf = spark.createDataFrame(
         merges,
         "merge_round int, left_sym string, right_sym string, "
         "merged string, pair_count long",
     )
+    return (mdf, syms) if with_symbols else mdf
+
+
+def bpe_encode_words(
+    wc: DataFrame,
+    merges: list[tuple[str, str]],
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Apply an already-learned merge list to a (word, cnt) table — the
+    ENCODE side of the tokenizer: new/foreign words tokenize under the
+    frozen vocabulary by replaying the merges in learning order (the
+    standard BPE inference rule). Returns (word, cnt, pos, s) with s the
+    subword tokens in position order. Vocabulary-bounded like training;
+    lineage localCheckpoint-truncated every ``checkpoint_every`` merges
+    (each merge round stacks 4 window passes — unbounded lineage would
+    make the final plan exponential for long merge lists)."""
+    syms = _init_symbols(wc)
+    for i, (a, b) in enumerate(merges, 1):
+        syms = bpe_merge_round(syms, a, b)
+        if i % checkpoint_every == 0 or i == len(merges):
+            syms = syms.localCheckpoint()
+    return syms

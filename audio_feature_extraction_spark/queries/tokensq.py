@@ -346,3 +346,48 @@ SELECT CAST(seed AS INTEGER) AS seed, CAST(rk AS INTEGER) AS epoch_rank,
        source, bin_id, batch_tokens, order_key
 FROM ranked WHERE rk <= {_EPOCH_K}
 """
+
+
+def _q_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of the tokenizer: after the 8 learned merges, the
+    resulting subword vocabulary with per-token stats — in how many
+    distinct words the token appears and its corpus occurrence count
+    (token occurrences x word frequency). Reuses the learning loop's
+    final symbol table (bpe_learn with_symbols — zero extra passes);
+    the oracle extends the unrolled merge-round CTEs with the final
+    aggregation."""
+    from audio_feature_extraction_spark.operators.tokenize import bpe_learn
+
+    d = _t(spark, sf_dir, "documents")
+    _, syms = bpe_learn(d, "text", _BPE_N_MERGES, with_symbols=True)
+    return syms.groupBy(F.col("s").alias("token")).agg(
+        F.count_distinct("word").alias("n_words"),
+        F.sum("cnt").cast("long").alias("corpus_count"),
+    )
+
+def _sql_bpe_vocab_stats() -> str:
+    ctes = [
+        """wc AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0 GROUP BY 1)""",
+        """s0 AS MATERIALIZED (
+  SELECT word, cnt, i - 1 AS pos, substr(word, i, 1) AS s
+  FROM wc, LATERAL unnest(generate_series(1, len(word))) AS u(i))""",
+    ]
+    for r in range(1, _BPE_N_MERGES + 1):
+        ctes.append(f"""t{r} AS MATERIALIZED (
+  SELECT a, b, SUM(cnt) AS n
+  FROM (SELECT word, cnt, s AS a,
+               lead(s) OVER (PARTITION BY word ORDER BY pos) AS b
+        FROM s{r - 1})
+  WHERE b IS NOT NULL GROUP BY 1, 2
+  ORDER BY n DESC, a, b LIMIT 1)""")
+        ctes.append(_round_cte(r).strip())
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT s AS token,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+       CAST(SUM(cnt) AS BIGINT) AS corpus_count
+FROM s{_BPE_N_MERGES} GROUP BY 1"""
+    )

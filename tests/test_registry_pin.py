@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 110
+PINNED_N = 111
 PINNED_CONTENT_SHA = (
-    "01b93a36064dc69f2776812c3a4a359ddffbacf33b529769ca66b49ba3ec3388"
+    "ea98436aa76477efb16a7243a509c82bdd169b8ee8abb65e7d4393789868d8d5"
 )
 PINNED_SHA = (
-    "81fb6cd7fc46187aa6cc83d2d9807b898d85e71a8eebd7800b7e8716ae30a0f5"
+    "b31343b6f68e9aa03f77d324f64ea56c6e1970439e916cfb62746542e38fc59c"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats",
@@ -41,10 +41,13 @@ PINNED_HEAD = [
     # ann_recall_neardup / tfidf_topterms / cms_freq (driver-green r05,
     # family canaries retained — see __spark_entry__.py)
     "source_mixture", "split_decontamination", "bpe_merges",
+    # bpe_vocab_stats (late r06) in over weighted_sample (driver-green
+    # r04+r05, sampling family canaried)
+    "bpe_vocab_stats",
     "epoch_shuffle", "ann_recall_clustered",
     "trend_slope",
     "ann_recall", "bm25_scores", "bigram_lm",
-    "hll_distinct", "weighted_sample", "key_skew",
+    "hll_distinct", "key_skew",
     "bloom_prune", "session_overlap", "drift_psi", "approx_quantiles",
     "zorder_prune",
 ]

@@ -384,3 +384,97 @@ def test_hostwindow_forced_noise(monkeypatch):
     assert cond["cpu_score_start"] == 1221.6
     assert cond["cpu_score_end"] == 850.0
     assert hc.window_noisy(cond, steal_threshold_pct=100.0) == "cal_drift"
+
+
+def test_source_mixture_composes_with_binpack(spark):
+    """VERDICT r05 #1 compose claim: resample-then-pack yields packed
+    batches whose per-bin source composition tracks the p_s^alpha target
+    (ungrouped salted-scan packing interleaves sources, so every bin is a
+    mixture draw)."""
+    from audio_feature_extraction_spark.operators.binpack import with_bin_id
+    from audio_feature_extraction_spark.operators.quality import (
+        source_mixture_resample,
+    )
+
+    sizes = {"web": 8_000, "books": 2_000, "code": 500}
+    rows = []
+    for src, n in sizes.items():
+        rows.extend(
+            (f"{src}-doc{i:07d}", src, 20 + (i * 37) % 200)
+            for i in range(n)
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "n_tok"])
+    )
+    kept = source_mixture_resample(df, "doc_id", "source", 0.5)
+    packed = with_bin_id(
+        kept, payload_col="n_tok", order_cols=["doc_id"],
+        target_payload_per_bin=20_000,
+    )
+    comp = (
+        packed.groupBy("__bin_id", "source")
+        .agg(F.sum("n_tok").alias("tok"))
+        .toPandas()
+    )
+    t = {s: n ** 0.5 for s, n in sizes.items()}
+    tot_t = sum(t.values())
+    # corpus-wide: packed token share per source ~ target mixture
+    per_src = comp.groupby("source")["tok"].sum()
+    shares = per_src / per_src.sum()
+    for s in sizes:
+        assert abs(shares[s] - t[s] / tot_t) < 0.05, (s, shares[s])
+    # per-bin: the dominant source's share never exceeds the corpus-wide
+    # web share by much — bins are mixtures, not single-source runs
+    bins = comp.pivot_table(
+        index="__bin_id", columns="source", values="tok", fill_value=0
+    )
+    bin_shares = bins.div(bins.sum(axis=1), axis=0)
+    # each bin holds ~50+ docs: its web share should sit near the target
+    assert (bin_shares["web"] - shares["web"]).abs().mean() < 0.10
+
+
+def test_bpe_encode_words_foreign_vocab(spark):
+    """Encoding replays the learned merges on words never seen in
+    training — the standard BPE inference rule — and matches the
+    reference tokenizer's output."""
+    from audio_feature_extraction_spark.operators.tokenize import (
+        bpe_encode_words,
+        bpe_learn,
+    )
+
+    train = ["low lower lowest low low newer newest new"]
+    df = spark.createDataFrame(pd.DataFrame({"text": train}))
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learn(df, "text", 6).collect()
+    ]
+
+    # reference encode (greedy-leftmost per merge, in learning order)
+    def py_encode(word):
+        s = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    foreign = ["lowly", "renew", "owlet", "zzz"]
+    wc = spark.createDataFrame(
+        pd.DataFrame({"word": foreign, "cnt": [1] * len(foreign)})
+    )
+    got = {
+        r["word"]: r["toks"]
+        for r in bpe_encode_words(wc, merges)
+        .groupBy("word")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("p"))
+        .select("word", F.transform("p", lambda x: x["s"]).alias("toks"))
+        .collect()
+    }
+    for w in foreign:
+        assert got[w] == py_encode(w), (w, got[w], py_encode(w))
