@@ -583,6 +583,7 @@ def estimate_topk_cos(
     n_sample_queries: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_sample_buckets: int | None = None,
 ) -> float:
     """Median (over the ``n_sample_queries`` lowest-id queries) of the
     k-th-neighbor cosine — the WEAKEST member of the true top-k, i.e. the
@@ -590,7 +591,23 @@ def estimate_topk_cos(
     Runs the Arrow/BLAS brute-force path for the sample, so the cost is
     ONE corpus scan regardless of query-set size — an index-selection
     decision made once per corpus, not per query batch. Deterministic:
-    the cosines are the round(cos,6) values the serving paths rank on."""
+    the cosines are the round(cos,6) values the serving paths rank on.
+
+    At 100 TB sample the CORPUS side too (VERDICT r05 observation):
+    ``corpus_sample_buckets = m`` keeps a deterministic 1/m md5-bucket of
+    the corpus (the `quality.hash_bucket` trick `fit_ivf_centroids`
+    documents) — the k-th-neighbor cosine of a uniform subsample is a
+    LOWER bound on the full corpus's (more candidates only raise the
+    k-th cosine), so the routing decision errs toward IVF, the safe
+    direction. Default None scans the full corpus (exact regime)."""
+    if corpus_sample_buckets is not None and corpus_sample_buckets > 1:
+        from audio_feature_extraction_spark.operators.quality import (
+            hash_bucket,
+        )
+
+        corpus = corpus.where(
+            hash_bucket(F.col(id_col), corpus_sample_buckets) == 0
+        )
     sample = queries.orderBy(id_col).limit(n_sample_queries)
     kth = (
         brute_force_topk_arrow(corpus, sample, k=k, id_col=id_col,
@@ -620,6 +637,7 @@ def approx_topk(
     n_planes: int = 8,
     lsh_seed: int = 7,
     n_tables: int = 4,
+    route_sample_buckets: int | None = None,
 ) -> DataFrame:
     """Routed ANN entry point (VERDICT r04 #3 — the measured `ann_recall`
     numbers drive the shipped configuration instead of hoping):
@@ -650,8 +668,12 @@ def approx_topk(
     if method not in ("auto", "ivf", "lsh"):
         raise ValueError(f"method must be auto|ivf|lsh, got {method!r}")
     if method == "auto":
+        # route_sample_buckets: at 100 TB the router's regime probe
+        # hash-samples the corpus too (estimate_topk_cos docstring — the
+        # subsampled kth-cos lower-bounds the true one, erring toward IVF)
         est = estimate_topk_cos(
-            corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            corpus_sample_buckets=route_sample_buckets,
         )
         if est >= LSH_MIN_REGIME_COS:
             method = "lsh"
@@ -723,7 +745,13 @@ def read_ivf_candidates(
     independent of pruning optimizer behavior). ``nprobe`` expands each
     query's exact cell to its nprobe nearest (the standard IVF probe).
     Returns the candidate rows with their ``cell`` column; exact re-rank
-    stays the caller's standard ``ivf_topk``-shaped window."""
+    stays the caller's standard ``ivf_topk``-shaped window.
+
+    Cost note (VERDICT r05 observation): the per-cell existence check is
+    one Hadoop-FS ``exists()`` py4j round-trip per probed cell — bounded
+    by n_cells (16-64 here). If n_cells grows to thousands, replace the
+    loop with a single ``globStatus(path + "/cell=*")`` listing and set
+    membership — one round-trip total."""
     if centroids is None:
         centroids = _centroid_literals(n_cells, dim, seed)
     arr = _cell_structs_sql(
