@@ -257,7 +257,10 @@ def orchestrate() -> None:
         f"{[(x['cpu_score_start'], x['cpu_score_end']) for x in all_conds[c]]}"
         for c in levels
     )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # snapshot file, NOT BASELINE.md: mode "w" on the curated baseline doc
+    # clobbered four rounds of history in r06 (restored from git) — the
+    # campaign snapshot now lands in its own file and BASELINE.md cites it
+    with open(os.path.join(REPO, "BENCH", "SCALING_last.md"), "w") as f:
         f.write(
             f"""# Scaling-efficiency evidence (north rule: >= 0.8 from N to 4N)
 
