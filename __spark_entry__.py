@@ -245,8 +245,10 @@ from audio_feature_extraction_spark.queries.tokensq import (  # noqa: E501
     _q_bpe_vocab_stats,
     _q_epoch_shuffle,
     _q_packed_rollup,
+    _q_packed_sequences,
     _q_packed_tokens,
     _q_token_slice,
+    _SQL_PACKED_SEQUENCES,
     _sql_bpe_merges,
     _sql_bpe_vocab_stats,
     _sql_epoch_shuffle,
@@ -432,6 +434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": _q_tfidf_topterms,
         "cms_freq": _q_cms_freq,
         "weighted_sample": _q_weighted_sample,
+        # -- late r06, tail (earns its driver row on the r07 rotation;
+        #    gate-verified at all three SFs this round) ----------------
+        "packed_sequences": _q_packed_sequences,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -550,4 +555,5 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _sql_epoch_shuffle(),
         "ann_recall_clustered": _sql_ann_recall_clustered(),
         "bpe_vocab_stats": _sql_bpe_vocab_stats(),
+        "packed_sequences": _SQL_PACKED_SEQUENCES,
     }

@@ -190,3 +190,70 @@ def epoch_shuffle(
     return tagged.repartitionByRange(parts, F.col(out)).sortWithinPartitions(
         out, *batch_cols
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    payload_col: str = "n_tok",
+    order_cols: list[str] | None = None,
+    group_cols: list[str] | None = None,
+    target_payload_per_bin: int = 4_000_000,
+    out_bin: str = BIN_COL,
+) -> DataFrame:
+    """The trainer-facing PACKED batch: per bin, the member sequences'
+    token arrays concatenated in deterministic order plus the start
+    offset of each member — the (input_ids, document boundaries) pair a
+    sequence-packing data loader feeds attention-mask construction.
+    Returns one row per (group_cols…, bin): ``tokens`` (flattened
+    array), ``boundaries`` (start offset per member, first = 0),
+    ``n_docs``, ``n_tok``.
+
+    Order & determinism: members order by ``order_cols`` (the same order
+    the bin assignment's prefix scan used), so the packed stream is a
+    pure function of the data — same bytes at any parallelism, the
+    property `_q_packed_tokens`' md5 fingerprints gate.
+
+    Plan shape: bin assignment = :func:`with_bin_id` (one window);
+    boundaries come from a second running-sum window over the SAME
+    (group, order) partitioning (no extra exchange class); the pack is
+    ONE groupBy(bin) collect_list of (order, offset, tokens) structs —
+    rows after it are bins, each ≤ target_payload tokens by
+    construction, so collect_list state is bounded by the bin cap, not
+    the corpus."""
+    order_cols = order_cols or ["doc_id", "seq"]
+    packed = with_bin_id(
+        df,
+        payload_col=payload_col,
+        order_cols=order_cols,
+        group_cols=group_cols,
+        target_payload_per_bin=target_payload_per_bin,
+        mix=False,
+        out=out_bin,
+    )
+    keys = list(group_cols or []) + [out_bin]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_off = packed.withColumn(
+        "_off",
+        (F.sum(F.col(payload_col)).over(cum) - F.col(payload_col)).cast(
+            "long"
+        ),
+    )
+    member = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.col("_off").alias("_o"),
+        F.col(tokens_col).alias("_t"),
+    )
+    agg = with_off.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(member)).alias("_m"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(payload_col).cast("long").alias("n_tok"),
+    )
+    return agg.select(
+        *keys,
+        F.flatten(F.transform("_m", lambda m: m["_t"])).alias("tokens"),
+        F.transform("_m", lambda m: m["_o"]).alias("boundaries"),
+        "n_docs",
+        "n_tok",
+    )

@@ -391,3 +391,67 @@ SELECT s AS token,
        CAST(SUM(cnt) AS BIGINT) AS corpus_count
 FROM s{_BPE_N_MERGES} GROUP BY 1"""
     )
+
+
+def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONCRETE packed batch (binpack.pack_sequences): per (source,
+    bin) the flattened token stream and per-member start offsets — what a
+    sequence-packing data loader actually ships. Gated as hashable
+    projections (md5 of the token CSV, boundaries as CSV) per the house
+    convention for array payloads; the real array output is
+    pytest-verified against a pandas reference."""
+    from audio_feature_extraction_spark.operators.binpack import (
+        pack_sequences,
+    )
+
+    seq = _sequences_from_events(spark, sf_dir)
+    out = pack_sequences(
+        seq,
+        tokens_col="tokens",
+        payload_col="n_tok",
+        order_cols=["doc_id", "seq"],
+        group_cols=["source"],
+        target_payload_per_bin=PACK_CAP,
+        out_bin="bin_id",
+    )
+    return out.select(
+        "source",
+        F.col("bin_id").cast("int").alias("bin_id"),
+        F.md5(F.array_join(F.col("tokens").cast("array<string>"), ","))
+        .alias("tokens_md5"),
+        F.array_join(F.col("boundaries").cast("array<string>"), ",").alias(
+            "boundaries_csv"
+        ),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tok",
+    )
+
+_SQL_PACKED_SEQUENCES = f"""
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(event_id AS INT) AS seq,
+         CAST(event_id % 31 + 2 AS INT) AS n_tok,
+         'src' || CAST(user_id % 4 AS VARCHAR) AS source
+  FROM events),
+packed AS (
+  SELECT *,
+    CAST(FLOOR(GREATEST(SUM(n_tok) OVER (PARTITION BY source
+                                 ORDER BY doc_id, seq
+                                 ROWS UNBOUNDED PRECEDING) - 1, 0)
+/ {PACK_CAP}) AS INT) AS bin_id,
+    array_to_string(list_transform(generate_series(1, n_tok),
+                                   x -> CAST(x AS VARCHAR)), ',') AS csv
+  FROM s),
+offs AS (
+  SELECT *,
+    SUM(n_tok) OVER (PARTITION BY source, bin_id ORDER BY doc_id, seq
+                     ROWS UNBOUNDED PRECEDING) - n_tok AS off
+  FROM packed)
+SELECT source, bin_id,
+  md5(string_agg(csv, ',' ORDER BY doc_id, seq)) AS tokens_md5,
+  string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id, seq)
+    AS boundaries_csv,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS n_tok
+FROM offs GROUP BY source, bin_id
+"""

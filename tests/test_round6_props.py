@@ -501,3 +501,54 @@ def test_estimate_topk_cos_corpus_sampling_lower_bounds(spark):
     sampled = estimate_topk_cos(df, q, k=10, corpus_sample_buckets=4)
     assert sampled <= full + 1e-9
     assert sampled > 0 or full == 0.0
+
+
+def test_pack_sequences_matches_pandas_reference(spark):
+    """The concrete packed batch: flattened tokens + member start offsets
+    equal an independent pandas packing at any parallelism."""
+    from audio_feature_extraction_spark.operators.binpack import (
+        pack_sequences,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(200):
+        n = int(rng.integers(2, 30))
+        rows.append(
+            (f"d{i:04d}", i, f"s{i % 3}", n,
+             [int(x) for x in rng.integers(0, 1000, n)])
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "seq", "source", "n_tok", "tokens"]
+    )
+    df = spark.createDataFrame(pdf)
+    out = pack_sequences(
+        df, order_cols=["doc_id", "seq"], group_cols=["source"],
+        target_payload_per_bin=100, out_bin="bin_id",
+    ).toPandas().sort_values(["source", "bin_id"]).reset_index(drop=True)
+
+    # independent reference: greedy prefix-scan pack per source
+    want = {}
+    for src, g in pdf.sort_values(["doc_id", "seq"]).groupby("source"):
+        cum = 0
+        for _, r in g.iterrows():
+            cum += r["n_tok"]
+            b = max(cum - 1, 0) // 100
+            key = (src, b)
+            toks, bounds, _ = want.setdefault(key, ([], [], None))
+            bounds.append(len(toks))
+            toks.extend(r["tokens"])
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        toks, bounds, _ = want[(r["source"], r["bin_id"])]
+        assert list(r["tokens"]) == toks
+        assert list(r["boundaries"]) == bounds
+        assert r["n_docs"] == len(bounds)
+        assert r["n_tok"] == len(toks)
+
+    # parallelism invariance
+    out13 = pack_sequences(
+        df.repartition(13), order_cols=["doc_id", "seq"],
+        group_cols=["source"], target_payload_per_bin=100, out_bin="bin_id",
+    ).toPandas().sort_values(["source", "bin_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out13)
