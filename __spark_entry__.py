@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "ann_topk_arrow": _q_ann_topk_arrow,
         "packed_tokens": _q_packed_tokens,
+        # packed_sequences (late r06): key_skew (driver-green r04+r05;
+        # sketch family keeps hll/bloom/quantiles) rotated out for it
+        "packed_sequences": _q_packed_sequences,
         "eval_sample": _q_eval_sample,
         # -- new in r05 (never driver-hashed): rotated into the head in
         #    place of asof_nearest / dedup_clusters_star / unigram_surprisal
@@ -358,7 +361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         # -- late r04 additions, rotated in for the r04 driver hash ---
         "hll_distinct": _q_hll_distinct,
-        "key_skew": _q_key_skew,
         "bloom_prune": _q_bloom_prune,
         "session_overlap": _q_session_overlap,
         "drift_psi": _q_drift_psi,
@@ -434,9 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": _q_tfidf_topterms,
         "cms_freq": _q_cms_freq,
         "weighted_sample": _q_weighted_sample,
-        # -- late r06, tail (earns its driver row on the r07 rotation;
-        #    gate-verified at all three SFs this round) ----------------
-        "packed_sequences": _q_packed_sequences,
+        "key_skew": _q_key_skew,
     }
 
 def oracle_sql() -> dict[str, str]:

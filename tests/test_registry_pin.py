@@ -17,12 +17,12 @@ from __future__ import annotations
 import __spark_entry__ as em
 from tools.rotate_registry import HEAD_N, content_sha, order_sha
 
-PINNED_N = 111
+PINNED_N = 112
 PINNED_CONTENT_SHA = (
-    "ea98436aa76477efb16a7243a509c82bdd169b8ee8abb65e7d4393789868d8d5"
+    "6bd9f15e637187a25c870d850db1458ee45dc44309d210bb1b08b4ee52d5c216"
 )
 PINNED_SHA = (
-    "b31343b6f68e9aa03f77d324f64ea56c6e1970439e916cfb62746542e38fc59c"
+    "f89200aadfce837bb158718a61805e665de5da8073d3d10f69cedb267886336d"
 )
 PINNED_HEAD = [
     "pipeline_features", "pricing_summary", "grouped_stats",
@@ -34,7 +34,11 @@ PINNED_HEAD = [
     "tumbling_counts", "binpack_assign", "time_range_stats",
     "doc_repetition", "contamination", "stratified_sample",
     "json_props",
-    "ann_topk_arrow", "packed_tokens", "eval_sample",
+    "ann_topk_arrow", "packed_tokens",
+    # packed_sequences (late r06) in over key_skew (driver-green
+    # r04+r05, sketch family canaried)
+    "packed_sequences",
+    "eval_sample",
     "substring_dedup", "ann_recall_fitted", "ann_auto_topk",
     "doc_perplexity",
     # new in r06: rotated in over dataset_split / emb_dedup_clusters /
@@ -47,7 +51,7 @@ PINNED_HEAD = [
     "epoch_shuffle", "ann_recall_clustered",
     "trend_slope",
     "ann_recall", "bm25_scores", "bigram_lm",
-    "hll_distinct", "key_skew",
+    "hll_distinct",
     "bloom_prune", "session_overlap", "drift_psi", "approx_quantiles",
     "zorder_prune",
 ]
