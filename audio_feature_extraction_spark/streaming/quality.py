@@ -175,3 +175,61 @@ def stream_doc_xent_rebaselined(
         )
 
     return _fb
+
+
+# ---------------------------------------------- source-mixture admission
+
+
+def pinned_mixture_thresholds(
+    reference_df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    buckets: int = 10_000,
+) -> dict[str, int]:
+    """Collected per-source acceptance thresholds from the APPROVED
+    reference corpus (quality.source_mixture_rates) — the pinned
+    artifact the streaming admission filter applies. Bounded by the
+    number of sources (the mixture operator's own contract); same
+    staleness story as the pinned LM above: re-derive on a cadence via
+    the foreachBatch pattern if live proportions drift."""
+    from audio_feature_extraction_spark.operators.quality import (
+        source_mixture_rates,
+    )
+
+    rows = source_mixture_rates(
+        reference_df, source_col, alpha, buckets
+    ).collect()
+    return {r["source"]: int(r["accept_threshold"]) for r in rows}
+
+
+def stream_mixture_admit(
+    df: DataFrame,
+    thresholds: dict[str, int],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    buckets: int = 10_000,
+    unseen_threshold: int = 0,
+) -> DataFrame:
+    """Temperature-resampling ADMISSION on a live stream: keep a row iff
+    its key's md5 bucket < the pinned per-source threshold. A pure
+    projection + filter — no watermark, no state, valid on streaming AND
+    bounded frames (the batch twin is literally this function with the
+    same thresholds, so admit(stream) == resample(batch) row-for-row
+    when the thresholds came from the same reference). Sources absent
+    from the pinned dict admit below ``unseen_threshold`` (default 0 =
+    drop unseen sources — the conservative gate; pass ``buckets`` to
+    admit them fully)."""
+    from audio_feature_extraction_spark.operators.quality import hash_bucket
+
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty — pin them from "
+                         "pinned_mixture_thresholds(reference_df)")
+    pairs: list = []
+    for s, t in sorted(thresholds.items()):
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(int(t)))
+    m = F.create_map(*pairs)
+    thr = F.coalesce(
+        m[F.col(source_col)], F.lit(int(unseen_threshold))
+    )
+    return df.where(hash_bucket(F.col(key_col), buckets) < thr)

@@ -225,3 +225,72 @@ def test_lm_min_count_prunes_conservatively(spark, corpus):
         stream_doc_xent(docs, pruned).toPandas().set_index("doc_id").xent
     )
     assert got_full.notna().equals(got_pruned.notna())
+
+
+def test_stream_mixture_admit_parity_and_unseen(spark, tmp_path):
+    """The streaming temperature-resampling admission (pinned per-source
+    thresholds): availableNow drain == the batch resample with the same
+    reference, row for row; unseen sources drop under the default."""
+    from audio_feature_extraction_spark.operators.quality import (
+        source_mixture_resample,
+    )
+    from audio_feature_extraction_spark.streaming.quality import (
+        pinned_mixture_thresholds,
+        stream_mixture_admit,
+    )
+
+    schema = "doc_id string, source string"
+    rows = []
+    for src, n in (("web", 3000), ("code", 300)):
+        rows.extend((f"{src}-{i:06d}", src) for i in range(n))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source"])
+    path = str(tmp_path / "mixsrc")
+    spark.createDataFrame(pdf, schema=schema).repartition(3).write.parquet(
+        path
+    )
+    ref = spark.read.parquet(path)
+    thr = pinned_mixture_thresholds(ref, alpha=0.5)
+    assert thr["code"] == 10_000  # smallest source keeps all
+
+    got_parts = []
+    q = (
+        stream_mixture_admit(
+            spark.readStream.schema(schema).parquet(path), thr
+        )
+        .writeStream.foreachBatch(
+            lambda df, e: got_parts.append(df.toPandas())
+        )
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", str(tmp_path / "ck")
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        pd.concat(got_parts)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        source_mixture_resample(ref, "doc_id", "source", 0.5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # unseen source: dropped by default, fully admitted at buckets
+    extra = spark.createDataFrame(
+        pd.DataFrame([("x-1", "books")], columns=["doc_id", "source"]),
+        schema=schema,
+    )
+    assert stream_mixture_admit(extra, thr).count() == 0
+    assert (
+        stream_mixture_admit(extra, thr, unseen_threshold=10_000).count()
+        == 1
+    )
+
+    # empty thresholds refuse loudly
+    with pytest.raises(ValueError, match="non-empty"):
+        stream_mixture_admit(extra, {})
