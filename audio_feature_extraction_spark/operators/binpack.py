@@ -161,7 +161,15 @@ def epoch_order_key(seed: int, *cols) -> F.Column:
     parts: list[F.Column] = [F.lit(str(int(seed)))]
     for c in cols:
         parts.append(F.lit(":"))
-        parts.append((F.col(c) if isinstance(c, str) else c).cast("string"))
+        # NULL identity components would NULL the whole concat (and the
+        # key) — map them to a sentinel so every batch still gets a
+        # deterministic position
+        parts.append(
+            F.coalesce(
+                (F.col(c) if isinstance(c, str) else c).cast("string"),
+                F.lit("\x00null"),
+            )
+        )
     return portable_word_hash(F.concat(*parts))
 
 
@@ -212,7 +220,12 @@ def pack_sequences(
     Order & determinism: members order by ``order_cols`` (the same order
     the bin assignment's prefix scan used), so the packed stream is a
     pure function of the data — same bytes at any parallelism, the
-    property `_q_packed_tokens`' md5 fingerprints gate.
+    property `_q_packed_tokens`' md5 fingerprints gate. HARD
+    PRECONDITION (inherited from :func:`with_bin_id`'s prefix scan and
+    shared with `take_per_stratum`): ``order_cols`` must be unique per
+    row within a group — with ties, both the running sum and the member
+    sort become partition-order dependent and the determinism contract
+    breaks silently.
 
     Plan shape: bin assignment = :func:`with_bin_id` (one window);
     boundaries come from a second running-sum window over the SAME
