@@ -552,3 +552,44 @@ def test_pack_sequences_matches_pandas_reference(spark):
         group_cols=["source"], target_payload_per_bin=100, out_bin="bin_id",
     ).toPandas().sort_values(["source", "bin_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out13)
+
+
+def test_bpe_vocab_stats_early_stop_cross_engine_parity(spark):
+    """When the vocabulary exhausts before n_merges, Spark breaks the
+    learning loop while the oracle's remaining t{r} CTEs go empty (their
+    scalar subqueries turn NULL, so s{r} = s{r-1}); both must land on the
+    same merge table AND the same final vocabulary."""
+    import duckdb
+    from audio_feature_extraction_spark.operators.tokenize import bpe_learn
+    from audio_feature_extraction_spark.queries.tokensq import (
+        _sql_bpe_merges,
+        _sql_bpe_vocab_stats,
+    )
+
+    docs = pd.DataFrame({"text": ["ab ab ab"]})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    dm = con.execute(_sql_bpe_merges()).fetchdf()
+    dv = (
+        con.execute(_sql_bpe_vocab_stats())
+        .fetchdf()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    m, syms = bpe_learn(
+        spark.createDataFrame(docs), "text", 8, with_symbols=True
+    )
+    sm = m.toPandas()
+    sv = (
+        syms.groupBy(F.col("s").alias("token"))
+        .agg(
+            F.count_distinct("word").alias("n_words"),
+            F.sum("cnt").cast("long").alias("corpus_count"),
+        )
+        .toPandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    assert len(sm) == len(dm) == 1
+    assert sm.iloc[0]["merged"] == dm.iloc[0]["merged"] == "ab"
+    assert sv.equals(dv.astype(sv.dtypes.to_dict()))
