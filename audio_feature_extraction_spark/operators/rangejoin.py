@@ -181,6 +181,134 @@ def interval_overlap_join(
     return l.join(r, cond, "inner").drop("_lb", "_rb")
 
 
+def interval_self_overlap_pairs(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+    bucket_sec: float = 1800.0,
+    parallelism: int | None = None,
+    broadcast_starts: bool = True,
+    max_fanout_per_row: int | None = None,
+    partition_cover_by_key: bool = False,
+) -> DataFrame:
+    """Every unordered pair of OVERLAPPING closed µs intervals from ONE
+    frame, emitted exactly once — the self-join specialization of
+    :func:`interval_overlap_join`, built for the dense-overlap regime
+    where the symmetric explode-both scheme evaluates each true pair in
+    every shared bucket (measured r07: 5.1B candidate evaluations for
+    1.21B true pairs on the sf1.0 session frame).
+
+    Output columns: ``{key}_a, {start}_a, {end}_a, {key}_b, {start}_b,
+    {end}_b`` with ``({start}_a, {key}_a) < ({start}_b, {key}_b)``
+    lexicographically — side *a* is the earlier-starting interval of the
+    pair (ties broken by key). PRECONDITION: ``(start, key)`` is unique
+    per row; a pair of rows with identical (start, key) would order
+    neither way and be dropped (gap-sessionized frames satisfy this: one
+    user's sessions have distinct starts).
+
+    Shape (guide §2.3/§2.4/§3.1): the *cover* side explodes each
+    interval to the buckets it spans; the *start* side keeps ONE row per
+    interval keyed by its start bucket. A pair overlaps iff the
+    later-starting interval's start instant lies inside the earlier one
+    (closed: ``s_b <= e_a``), and that start's bucket is covered by the
+    earlier interval exactly once — so the equi-join on the bucket plus
+    the (order, ``s_b <= e_a``) predicate emits each pair exactly once
+    with candidate count ≈ Σ_bucket covers×starts ≈ N × mean concurrent
+    intervals — the true-pair floor plus bucket-boundary waste — instead
+    of the explode-both scheme's Σ_bucket covers², and the per-candidate
+    predicate is three long comparisons (no pmod/greatest re-bucketing).
+    ``bucket_sec`` trades cover-side explode volume (long intervals /
+    small buckets) against starts-per-bucket boundary waste; unlike the
+    explode-both scheme, SMALLER buckets only shrink the candidate set
+    (starts per bucket fall while covers stay ≈ concurrency), so size it
+    a few × below the median interval duration.
+
+    The cover side is round-robin ``repartition``-ed to ``parallelism``
+    (default: the session's shuffle partitions) BEFORE the explode: the
+    input is typically a just-aggregated frame that AQE has coalesced to
+    a handful of small partitions, and the probe stage — the whole cost
+    of the query — would otherwise run on those few cores (§2.6/§1.2).
+    ``broadcast_starts=True`` (one row per interval, three longs — tiny
+    relative to any corpus) makes the join a BroadcastHashJoin so the
+    exploded cover side is never shuffled; pass False at a scale where
+    one row per interval exceeds broadcast limits and the join falls
+    back to an equi-shuffle on the bucket, which is still the
+    explode-both exchange shape.
+
+    ``max_fanout_per_row`` is the same opt-in eager guard as
+    :func:`interval_overlap_join` (one max-duration aggregate at plan
+    build; raises naming the bucket_sec that would fit)."""
+    w = int(round(bucket_sec * 1_000_000))
+    if max_fanout_per_row is not None:
+        if df.isStreaming:
+            raise ValueError(
+                "interval_self_overlap_pairs: the fan-out guard runs an "
+                "eager batch aggregate at plan-build time and cannot run "
+                "on a streaming DataFrame — pass max_fanout_per_row=None "
+                "and size bucket_sec from known interval-duration bounds."
+            )
+        row = df.agg(F.max(F.col(end) - F.col(start)).alias("d")).first()
+        worst = row["d"] if row and row["d"] is not None else 0
+        fanout = worst // w + 2
+        if fanout > max_fanout_per_row:
+            fit_w = max(1, -(-worst // (max_fanout_per_row - 2)))
+            raise ValueError(
+                f"interval_self_overlap_pairs: the longest interval "
+                f"({worst} us) spans ~{fanout} buckets at "
+                f"bucket_sec={bucket_sec}, exceeding "
+                f"max_fanout_per_row={max_fanout_per_row}. Pass "
+                f"bucket_sec>={fit_w / 1_000_000!r} or "
+                "max_fanout_per_row=None to skip the guard."
+            )
+
+    def _bucket(col: str) -> Column:
+        us = F.col(col)
+        # exact for |us| < 2^53 µs — same derivation as interval_overlap_join
+        return ((us - F.pmod(us, F.lit(w))) / F.lit(w)).cast("long")
+
+    ka, sa, ea = f"{key}_a", f"{start}_a", f"{end}_a"
+    kb, sb, eb = f"{key}_b", f"{start}_b", f"{end}_b"
+    n_parts = parallelism or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    cover_df = df.select(
+        F.col(key).alias(ka), F.col(start).alias(sa), F.col(end).alias(ea)
+    )
+    # partition_cover_by_key=True hash-partitions the cover side by its key
+    # instead of round-robin: every pair whose EARLIER interval belongs to
+    # key u is then probed in u's task, so a downstream per-pair aggregate
+    # gets real map-side combining (one pair's overlaps split across at
+    # most two cover keys) instead of ~1 row per group per task. Only
+    # useful when keys own many intervals; round-robin balances better
+    # when a few keys dominate.
+    cover_df = (
+        cover_df.repartition(n_parts, ka)
+        if partition_cover_by_key
+        else cover_df.repartition(n_parts)
+    )
+    cover = cover_df.withColumn(
+        "_ba", F.explode(F.sequence(_bucket(sa), _bucket(ea)))
+    )
+    starts = df.select(
+        F.col(key).alias(kb),
+        F.col(start).alias(sb),
+        F.col(end).alias(eb),
+        _bucket(start).alias("_bb"),
+    )
+    if broadcast_starts:
+        starts = F.broadcast(starts)
+    cond = (
+        (F.col("_ba") == F.col("_bb"))
+        & (
+            (F.col(sa) < F.col(sb))
+            | ((F.col(sa) == F.col(sb)) & (F.col(ka) < F.col(kb)))
+        )
+        & (F.col(sb) <= F.col(ea))
+    )
+    return cover.join(starts, cond, "inner").drop("_ba", "_bb")
+
+
 def band_join_stats(
     left: DataFrame,
     right: DataFrame,

@@ -111,13 +111,22 @@ FROM sess GROUP BY user_id, session_id
 def _q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-presence report: top-10 user pairs by number of OVERLAPPING
     gap-sessions (plus total overlap µs). The pair generation is the
-    bucketed interval-overlap join (operators/rangejoin.py
-    interval_overlap_join): one equi-shuffle on a 6 h time bucket,
-    exactly-once emission via the first-overlap-bucket filter — never a
-    cross product, never a distinct. The session frame is persisted so the
+    start-bucket ⋈ cover-bucket self-overlap join (operators/rangejoin.py
+    interval_self_overlap_pairs, r07): candidates ≈ the true-pair floor
+    instead of the explode-both scheme's per-bucket quadratic (measured
+    sf1.0: 5.1B → 1.37B candidate evaluations for 1.21B true pairs), the
+    start side rides a broadcast so the exploded cover side is never
+    shuffled, and the probe stage is explicitly repartitioned to the
+    session's shuffle parallelism (AQE coalesces the tiny aggregated
+    session frame to a handful of partitions, which would serialize the
+    billion-candidate probe onto as many cores). Exactly-once emission by
+    the lexicographic (start, user) order — never a cross product, never
+    a distinct; same-user pairs cannot overlap (gap-sessionized), the
+    operator's order predicate also never emits them (u_a != u_b is
+    implied for overlapping rows). The session frame is persisted so the
     sessionize window+agg runs once, not once per join side."""
     from audio_feature_extraction_spark.operators.rangejoin import (
-        interval_overlap_join,
+        interval_self_overlap_pairs,
     )
     from pyspark.sql import Window
 
@@ -135,31 +144,89 @@ def _q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    a = sess.select(
-        F.col("user_id").alias("u1"),
-        F.col("s").alias("s1"),
-        F.col("e").alias("e1"),
+    # ONE eager stats job over the (persisted) session frame serves both
+    # plan-time decisions — the fan-out guard the old query ran inside the
+    # operator (max duration / bucket <= 512, same failure contract) and
+    # the pair-key packing probe below — and warms the persist cache.
+    _BUCKET_SEC, _MAX_FANOUT = 1800.0, 512
+    stats = sess.agg(
+        F.max(F.col("e") - F.col("s")).alias("d"),
+        F.min("user_id").alias("lo"),
+        F.max("user_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    worst = stats["d"] if stats and stats["d"] is not None else 0
+    fanout = worst // int(_BUCKET_SEC * 1_000_000) + 2
+    if fanout > _MAX_FANOUT:
+        raise ValueError(
+            f"session_overlap: longest session ({worst} us) spans "
+            f"~{fanout} buckets at bucket_sec={_BUCKET_SEC}, exceeding "
+            f"the {_MAX_FANOUT} fan-out cap — widen the bucket."
+        )
+    # cover side hash-partitioned BY USER (not round-robin): every pair's
+    # earlier-session row is probed in that user's task, so one pair's
+    # overlaps land in at most TWO map tasks and the map-side partial
+    # aggregate really combines (~5.4 rows/group at sf1.0) instead of
+    # emitting ~1 row per group — the exchange carries ~0.23B rows, not
+    # the full 1.21B pair stream (which, uncombined, either spilled 112 GB
+    # through the map hash maps or had to bypass partial aggregation
+    # entirely; both measured slower this round).
+    # scale-adaptive probe parallelism from the measured session count
+    # (not a constant tuned to either scale): ~2k cover sessions per task
+    # keeps the probe task's partial-agg hash map (task's cover users ×
+    # their partners) inside execution memory — at sf1.0 (480k sessions →
+    # 240 tasks) 64 tasks spilled ~22 GB and 256 spilled zero — while the
+    # floor/cap keep tiny inputs from paying 256 × ~15 ms of per-task
+    # setup (the measured sf0.1 regression) and huge ones from launching
+    # unbounded task counts (raise shuffle partitions instead at cluster
+    # scale).
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_sessions = int(stats["n"]) if stats and stats["n"] is not None else 0
+    probe_par = max(sp // 2, min(8 * sp, -(-n_sessions // 2000)))
+    pairs = interval_self_overlap_pairs(
+        sess, key="user_id", start="s", end="e", bucket_sec=_BUCKET_SEC,
+        partition_cover_by_key=True,
+        parallelism=probe_par,
+    ).where(F.col("user_id_a") != F.col("user_id_b"))
+    # side a starts first (operator contract), so the overlap window is
+    # [s_b, least(e_a, e_b)] — greatest(s_a, s_b) == s_b by construction.
+    # When user ids fit 31 bits (checked by the stats job above — true at
+    # every bench/driver scale), the (u1, u2) pair packs into ONE long:
+    # single-word group hashing on the billion-row partial aggregate; ids
+    # that don't fit fall back to the two-column key with identical
+    # results (tests/test_rangejoin_self.py covers both branches).
+    pack = stats is not None and stats["lo"] is not None and (
+        0 <= stats["lo"] and stats["hi"] < (1 << 31)
     )
-    b = sess.select(
-        F.col("user_id").alias("u2"),
-        F.col("s").alias("s2"),
-        F.col("e").alias("e2"),
+    ov = (F.least("e_a", "e_b") - F.col("s_b")).alias("_ov")
+    u1a, u2a = F.least("user_id_a", "user_id_b"), F.greatest(
+        "user_id_a", "user_id_b"
     )
-    pairs = interval_overlap_join(
-        a, b, "s1", "e1", "s2", "e2",
-        bucket_sec=21_600.0,
-        extra_cond=F.col("u1") < F.col("u2"),
-        # guard is opt-in (the operator default is None to stay a pure
-        # lazy builder); this gated query keeps it ON as evidence
-        max_fanout_per_row=512,
-    )
-    agg = pairs.groupBy("u1", "u2").agg(
-        F.count(F.lit(1)).alias("n_overlaps"),
-        F.sum(
-            F.least(F.col("e1"), F.col("e2"))
-            - F.greatest(F.col("s1"), F.col("s2"))
-        ).cast("long").alias("overlap_us"),
-    )
+    if pack:
+        pk = (F.shiftleft(u1a, 32) + u2a).alias("_pk")
+        agg = (
+            pairs.select(pk, ov)
+            .groupBy("_pk")
+            .agg(
+                F.count(F.lit(1)).alias("n_overlaps"),
+                F.sum("_ov").cast("long").alias("overlap_us"),
+            )
+            .select(
+                F.shiftright("_pk", 32).alias("u1"),
+                F.col("_pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("u2"),
+                "n_overlaps",
+                "overlap_us",
+            )
+        )
+    else:
+        agg = (
+            pairs.select(u1a.alias("u1"), u2a.alias("u2"), ov)
+            .groupBy("u1", "u2")
+            .agg(
+                F.count(F.lit(1)).alias("n_overlaps"),
+                F.sum("_ov").cast("long").alias("overlap_us"),
+            )
+        )
     wnd = Window.orderBy(
         F.col("n_overlaps").desc(), F.col("overlap_us").desc(), "u1", "u2"
     )
