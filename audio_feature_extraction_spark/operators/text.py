@@ -45,7 +45,9 @@ def bpe_ish_token_count(text_col: str) -> Column:
     return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
 
 
-def marker_hits(text_col: str, markers: list[str]) -> Column:
+def marker_hits(
+    text_col: str, markers: list[str], w: Column | None = None
+) -> Column:
     """Total occurrences of any marker word.
 
     ASCII markers count as whole space-split words via
@@ -53,8 +55,15 @@ def marker_hits(text_col: str, markers: list[str]) -> Column:
     whole-stage codegen (the ``F.filter`` lambda equivalent is
     CodegenFallback-interpreted, ~4× slower). Non-ASCII markers (the zh
     lexicon) count as SUBSTRING occurrences — CJK text is not
-    space-delimited, so word-level matching would never fire for it."""
-    w = words(text_col)
+    space-delimited, so word-level matching would never fire for it.
+
+    ``w``: optionally a PRE-SPLIT words array Column. Every marker reference
+    re-evaluates its words tree when it is an inline ``split`` (common
+    subexpression elimination does not reliably fire across the many
+    references in a wide projection — measured 8.3 s vs 1.9 s on the sf1.0
+    50k-doc frame, r07), so callers computing several hit counts should
+    project ``words(text)`` once and pass the column reference."""
+    w = words(text_col) if w is None else w
     n = F.size(w)
     t = F.col(text_col)
     out = F.lit(0)
@@ -82,12 +91,15 @@ def avg_word_len(text_col: str) -> Column:
     return (F.length(text_col) - (wc - 1)) / wc
 
 
-def quality_score(text_col: str) -> Column:
+def quality_score(text_col: str, w: Column | None = None) -> Column:
     """Deduction ladder: −0.3 each for (too short, too repetitive, words too
-    long/short on average), floored at 0."""
-    wc = whitespace_token_count(text_col)
-    awl = avg_word_len(text_col)
-    dwr = distinct_word_ratio(text_col)
+    long/short on average), floored at 0. ``w``: optional pre-split words
+    array (see marker_hits)."""
+    if w is None:
+        w = words(text_col)
+    wc = F.size(w)
+    awl = (F.length(text_col) - (wc - 1)) / wc
+    dwr = F.size(F.array_distinct(w)) / wc
     return F.greatest(
         F.lit(1.0)
         - F.when(wc < 20, F.lit(0.3)).otherwise(F.lit(0.0))
@@ -97,15 +109,42 @@ def quality_score(text_col: str) -> Column:
     )
 
 
-def lang_id(text_col: str) -> Column:
-    """Marker-lexicon language ID: the lang with the most marker hits; ties
-    resolve to the first lang in LANG_MARKERS order among the tied max.
-    Docs with ZERO hits in every lexicon return 'und' (out-of-lexicon text
-    is undetermined, not defaulted to 'en')."""
-    hit_cols = [
-        (lang, marker_hits(text_col, markers))
+def lang_hits(text_col: str, w: Column | None = None) -> dict[str, Column]:
+    """One marker-hit count Column per language, for the two-projection
+    lang-ID plan: project these once, then :func:`lang_pick` over the cheap
+    integer columns. Keeping the expensive split/array_remove trees in their
+    own projection lets codegen evaluate each ONCE per row — inlining them
+    into the winner CASE repeats every hits tree in several conditional
+    branches, which defeats common-subexpression elimination (conditional
+    branches are not guaranteed-evaluated) and measured 5.5 s vs 0.5 s on
+    the 50k-doc frame (r07)."""
+    return {
+        lang: marker_hits(text_col, markers, w=w)
         for lang, markers in LANG_MARKERS.items()
-    ]
+    }
+
+
+def lang_pick(hits: dict[str, Column]) -> Column:
+    """Winner over precomputed hit columns: the lang with the most marker
+    hits; ties resolve to the first lang in LANG_MARKERS order among the
+    tied max; ZERO hits everywhere returns 'und' (out-of-lexicon text is
+    undetermined, not defaulted to 'en'). Same flat-CASE shape as the
+    DuckDB oracle mirror."""
+    gm = F.greatest(*hits.values())
+    out = F.lit("und")
+    for lang in reversed(list(hits)):
+        out = F.when(hits[lang] == gm, F.lit(lang)).otherwise(out)
+    return F.when(gm == 0, F.lit("und")).otherwise(out)
+
+
+def lang_id(text_col: str) -> Column:
+    """Marker-lexicon language ID as a single Column — same winner semantics
+    as :func:`lang_pick` over :func:`lang_hits`. Queries use the
+    two-projection lang_hits→lang_pick plan (1.8 s vs 5.4 s here at sf1.0);
+    this single-Column form keeps the fold shape because inlining the hit
+    trees into the flat winner-CASE duplicates each tree ~7× (measured
+    15 s — worse than the fold's 5.4 s)."""
+    hit_cols = list(lang_hits(text_col).items())
     best = None
     best_lang = F.lit("und")
     # reverse order so earlier langs win ties via >= (fold builds a when-chain)

@@ -22,13 +22,39 @@ from .dedupq import _duck_word_hash
 
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    base = d.select(
+    # three-projection plan (r07): split(text) is projected ONCE and every
+    # word-level feature (wc, quality, the 25 marker-hit counts) reads the
+    # array column; the lang winner CASE then runs over the cheap integer
+    # hit columns in a third projection. The flat form re-evaluated the
+    # split tree at every one of its ~60 references (CSE does not reliably
+    # fire across a wide projection, and the hit trees inlined into the
+    # winner CASE sit in conditional branches where CSE cannot fire at
+    # all): 8.8 s → ~2.5 s at sf1.0. CollapseProject keeps the stages
+    # apart because _w / the hit columns are non-cheap and
+    # multiply-referenced.
+    from audio_feature_extraction_spark.operators.dedup import words
+
+    split_once = d.select("doc_id", "text", words("text").alias("_w"))
+    hits = {
+        lang: col.alias(f"_h_{lang}")
+        for lang, col in _T.lang_hits("text", w=F.col("_w")).items()
+    }
+    base = split_once.select(
         "doc_id",
-        _T.whitespace_token_count("text").alias("wc"),
+        F.size("_w").alias("wc"),
         _T.bpe_ish_token_count("text").alias("bpe_tokens"),
-        F.round(_T.quality_score("text"), 6).alias("quality"),
-        _T.lang_id("text").alias("lang_pred"),
+        F.round(_T.quality_score("text", w=F.col("_w")), 6).alias("quality"),
         _T.doc_fingerprint("text").alias("fingerprint"),
+        *hits.values(),
+    ).select(
+        "doc_id",
+        "wc",
+        "bpe_tokens",
+        "quality",
+        _T.lang_pick(
+            {lang: F.col(f"_h_{lang}") for lang in hits}
+        ).alias("lang_pred"),
+        "fingerprint",
     )
     # min-shingle via the explode plan, not the array-transform column:
     # higher-order lambdas are interpreted (CodegenFallback), so one extra
