@@ -50,6 +50,21 @@ def collect_guarded(df: DataFrame, side: str, fallback: str, cap: int):
     return pdf
 
 
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a CPU-heavy frame up to the session's core
+    count when its scan is parallelism-starved (guide §2.5/§6: a ~10 MB
+    single-row-group parquet file scans as 1-2 tasks, which serializes the
+    per-row ANN kernels — the IVF cell argmin, the Arrow BLAS batches —
+    onto as many cores; measured 1.34 s → 0.49 s on the sf1.0 20k-vector
+    assignment). Scale-adaptive, not a constant: at real scale the scan
+    already has ≥ cores partitions and this is a no-op — the exchange is
+    only paid when the input is small enough for it to be trivially cheap."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _to_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("array<double>")
@@ -82,8 +97,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias(query_id), _to_double(vec_col).alias("_qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_cv")
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_cv")
+        )
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id))
@@ -324,6 +341,9 @@ def fit_ivf_centroids(
     else:
         raise ValueError(f"init must be 'seeded' or 'data', got {init!r}")
     v_sql = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    # the per-round argmin is CPU-bound per row; don't let a small parquet
+    # file serialize it onto 1-2 scan tasks (r07, guide §2.5)
+    corpus = ensure_min_parallelism(corpus)
     for _ in range(rounds):
         arr = _cell_structs_sql(v_sql, cents)
         assigned = corpus.select(
@@ -373,8 +393,10 @@ def ivf_topk(
     if centroids is None:
         centroids = _centroid_literals(n_cells, dim, seed)
     c = with_ivf_cell(
-        corpus.select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col)
-                      .alias("_cv")),
+        ensure_min_parallelism(
+            corpus.select(F.col(id_col).alias("neighbor_id"),
+                          _to_double(vec_col).alias("_cv"))
+        ),
         "_cv", n_cells, dim, seed, centroids=centroids,
     )
     qv = queries.select(F.col(id_col).alias("query_id"), _to_double(vec_col)
@@ -449,8 +471,11 @@ def lsh_bucketed_topk(
         )
 
     corp = _tb(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_cv")
+        ensure_min_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                _to_double(vec_col).alias("_cv"),
+            )
         ),
         "neighbor_id", "_cv",
     )
@@ -560,7 +585,9 @@ def brute_force_topk_arrow(
                     }
                 )
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    cand = ensure_min_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
+        score, schema=out_schema
+    )
     w = Window.partitionBy(query_id).orderBy(
         F.round("cos", 6).desc(), F.col("neighbor_id")
     )
