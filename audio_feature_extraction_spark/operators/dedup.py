@@ -73,7 +73,18 @@ def shingles(
     consumers (MinHash: min() over permuted hashes ignores multiplicity)."""
     from pyspark.sql import Window
 
-    wdf = df.select(
+    from audio_feature_extraction_spark.operators.parallel import (
+        ensure_min_parallelism_by,
+    )
+
+    # hash-repartition the compact (id, text) rows by id when the scan is
+    # few-row-group-starved (r07, guide §2.4/§2.5): split+posexplode then
+    # run distributed AFTER the one exchange the lead-window needed anyway
+    # (which now carries 300-byte texts instead of the exploded words)
+    src = ensure_min_parallelism_by(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    wdf = src.select(
         F.col(id_col), F.posexplode(words(text_col)).alias("_i", "_w0")
     )
     win = Window.partitionBy(id_col).orderBy("_i")
@@ -102,7 +113,14 @@ def positioned_shingles(
     position contributes exactly one row by construction)."""
     from pyspark.sql import Window
 
-    wdf = df.select(
+    from audio_feature_extraction_spark.operators.parallel import (
+        ensure_min_parallelism_by,
+    )
+
+    src = ensure_min_parallelism_by(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    wdf = src.select(
         F.col(id_col), F.posexplode(words(text_col)).alias("_i", "_w0")
     )
     win = Window.partitionBy(id_col).orderBy("_i")
@@ -425,7 +443,14 @@ def simhash(
     """(id, simhash long): bit i of the signature is the sign of
     Σ_words (±1 by bit i of the portable word hash). Word multiplicity
     weights naturally (no distinct)."""
-    w = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+    from audio_feature_extraction_spark.operators.parallel import (
+        ensure_min_parallelism_by,
+    )
+
+    src = ensure_min_parallelism_by(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    w = src.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
     h = portable_word_hash(F.col("w"))
     w = w.withColumn("h", h)
     # whole signature as ONE parsed aggregate expression (bit sums nested

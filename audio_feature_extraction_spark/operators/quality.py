@@ -91,7 +91,16 @@ def repetition_stats(
     per-doc joins add ZERO further exchanges. The per-row alternative (array
     ``transform`` lambdas) is CodegenFallback-interpreted in Spark and
     measured ~10× slower despite doing no shuffle at all."""
-    wdf = df.select(F.col(id_col), F.posexplode(words(text_col)).alias("i", "w0"))
+    from audio_feature_extraction_spark.operators.parallel import (
+        ensure_min_parallelism_by,
+    )
+
+    src = ensure_min_parallelism_by(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    wdf = src.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("i", "w0")
+    )
     win = Window.partitionBy(id_col).orderBy("i")
     g = wdf.select(
         F.col(id_col),

@@ -50,19 +50,9 @@ def collect_guarded(df: DataFrame, side: str, fallback: str, cap: int):
     return pdf
 
 
-def ensure_min_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a CPU-heavy frame up to the session's core
-    count when its scan is parallelism-starved (guide §2.5/§6: a ~10 MB
-    single-row-group parquet file scans as 1-2 tasks, which serializes the
-    per-row ANN kernels — the IVF cell argmin, the Arrow BLAS batches —
-    onto as many cores; measured 1.34 s → 0.49 s on the sf1.0 20k-vector
-    assignment). Scale-adaptive, not a constant: at real scale the scan
-    already has ≥ cores partitions and this is a no-op — the exchange is
-    only paid when the input is small enough for it to be trivially cheap."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+from audio_feature_extraction_spark.operators.parallel import (  # noqa: F401
+    ensure_min_parallelism,
+)
 
 
 def _to_double(col: str | Column) -> Column:

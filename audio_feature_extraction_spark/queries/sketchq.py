@@ -190,14 +190,23 @@ def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     is visibly nonzero at test scale; the whole filter build is one
     bounded distinct (<= m rows) and the probe side crosses only
     broadcast joins."""
+    from audio_feature_extraction_spark.operators.parallel import (
+        ensure_min_parallelism,
+    )
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     build = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
     bits = _SK.bloom_bits(
         build, F.col("c_custkey"), m_bits=_BLOOM_M, k=_BLOOM_K
     )
+    # project the two needed columns BEFORE the k-md5-per-row probe, and
+    # spread the probe off the few-row-group orders scan (r07, guide
+    # §2.3/§2.5: 4 md5 hashes × 1.5M rows on 1-2 scan tasks was ~3 s of
+    # single-core work; the narrow exchange is far cheaper)
     probed = _SK.bloom_might_contain(
-        o, bits, "o_custkey", m_bits=_BLOOM_M, k=_BLOOM_K
+        ensure_min_parallelism(o.select("o_custkey", "o_orderpriority")),
+        bits, "o_custkey", m_bits=_BLOOM_M, k=_BLOOM_K,
     )
     flagged = probed.join(
         F.broadcast(
