@@ -707,7 +707,10 @@ def _q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall ≈ 2× scan fraction is the geometry bound — a neighbor at
     cos ≈ 0.3 is nearly independent of the query's cell ordering),
     this pins BOTH ends of the IVF answer-quality story."""
-    embc = _clustered_corpus(spark, sf_dir).persist()
+    # repartition BEFORE persist so the cached blocks are already spread
+    # across cores and every consumer's internal starvation guard
+    # (ensure_min_parallelism) sees enough partitions and no-ops (r07)
+    embc = _S.ensure_min_parallelism(_clustered_corpus(spark, sf_dir)).persist()
     cents = _S.fit_ivf_centroids(
         embc, "embedding", n_cells=IVF_CELLS, dim=64, seed=IVF_SEED,
         rounds=IVF_FIT_ROUNDS, init="data",
