@@ -55,17 +55,39 @@ def n_tok_of(event_id_col: str = "event_id"):
 def sequences_from_events(ev: DataFrame) -> DataFrame:
     """Left side: one pre-tokenized sequence row per event (input_hint shape).
     tokens = [1..n_tok] int32, deterministic in event_id — bit-identity of
-    the array through the pipeline is assertable in closed form."""
+    the array through the pipeline is assertable in closed form.
+
+    r07 shape: the compact pre-token columns are hash-repartitioned by
+    doc_id FIRST when the events scan is few-row-group-starved, and the
+    tokens arrays are generated after that exchange — the downstream
+    window/sessionize chain is partitioned by doc_id and reuses it (no
+    extra shuffle), the exchange written by the 1-2 scan tasks carries
+    ~30-byte rows instead of the materialized token arrays, and the
+    array generation runs on every core. No-op at real scale (guard in
+    operators/parallel.py)."""
+    from audio_feature_extraction_spark.operators.parallel import (
+        ensure_min_parallelism_by,
+    )
+
     ev = with_v(ev) if "v" not in ev.columns else ev
     n_tok = n_tok_of("event_id")
-    return ev.select(
+    base = ev.select(
         F.col("user_id").cast("string").alias("doc_id"),
         F.col("event_id").cast("int").alias("seq"),
-        F.sequence(F.lit(1), n_tok).cast("array<int>").alias("tokens"),
         n_tok.alias("n_tok"),
         F.concat(F.lit("src"), F.pmod(F.col("user_id"), F.lit(4))).alias("source"),
         "ts",
         F.col("v").alias("value"),
+    )
+    base = ensure_min_parallelism_by(base, "doc_id")
+    return base.select(
+        "doc_id",
+        "seq",
+        F.sequence(F.lit(1), F.col("n_tok")).cast("array<int>").alias("tokens"),
+        "n_tok",
+        "source",
+        "ts",
+        "value",
     )
 
 

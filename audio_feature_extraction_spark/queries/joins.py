@@ -17,19 +17,31 @@ from .common import _t
 
 
 def _q_equi_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast dim chain + 1:N fan-out rollup (J1/J3)."""
+    """Broadcast dim chain + 1:N fan-out rollup (J1/J3).
+
+    r07 shape (guide §2.3 'aggregate before you shuffle'): orders
+    pre-aggregate per custkey FIRST, so the join carries one row per
+    customer instead of the full fan-out and the per-nation rollup needs
+    no two-phase countDistinct (each custkey appears exactly once after
+    the pre-agg, so n_customers is a plain count). Equivalence: decimal
+    sums are exact, so the per-cust partial sums re-sum to the identical
+    total; count(o_orderkey) = Σ per-cust counts with no-order customers
+    contributing 0 via the left join. The 150k-row pre-agg rides a
+    broadcast, so the customer side is never shuffled at all."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
-    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
-        orders, cust.c_custkey == orders.o_custkey, "left_outer"
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_price"),
     )
+    j = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(per_cust), cust.c_custkey == per_cust.o_custkey, "left_outer")
     return j.groupBy("n_name").agg(
-        F.countDistinct("c_custkey").alias("n_customers"),
-        F.count("o_orderkey").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_price"),
+        F.count("c_custkey").alias("n_customers"),
+        F.sum(F.coalesce("_n_orders", F.lit(0))).alias("n_orders"),
+        F.sum("_price").cast("double").alias("total_price"),
     )
 
 _SQL_EQUI_JOIN_FANOUT = """
