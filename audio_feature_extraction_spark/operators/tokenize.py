@@ -44,7 +44,14 @@ def bpe_word_counts(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """The ONE corpus pass: whitespace words → (word, cnt). Everything
-    downstream is vocabulary-bounded."""
+    downstream is vocabulary-bounded.
+
+    Deliberately NOT pre-repartitioned (r07): the map-side partial
+    aggregate collapses the exploded words to the (small) vocabulary
+    inside the scan stage, so the one exchange already carries almost
+    nothing — an up-front repartition added a full text exchange and
+    measured 0.49 → 0.88 s at sf1.0 (aggregate-before-shuffle beats
+    spread-then-aggregate here, guide §2.3)."""
     return (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.length("word") > 0)

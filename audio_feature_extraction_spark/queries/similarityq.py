@@ -147,8 +147,10 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing over synthesized payloads (no media
     codecs in this container; deterministic md5-derived fake decoder, real
     Arrow mapInPandas path — the oracle reproduces the features in SQL)."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    d = _S.ensure_min_parallelism(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
     )
     out = _M.extract_media_features(_M.with_media_meta(d), fake=True)
     return out.select(
