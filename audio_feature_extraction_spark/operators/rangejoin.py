@@ -33,6 +33,15 @@ def interval_overlap_join(
     (``ls <= re AND rs <= le``), each pair emitted EXACTLY once — with one
     equi-shuffle on a time bucket, never a cross product.
 
+    .. BREAKING CHANGE (r06, re-affirmed r07 per ADVICE): the fan-out
+       guard default moved 512 → ``None`` (OFF). Existing callers that
+       relied on the implicit guard must now pass
+       ``max_fanout_per_row=...`` explicitly — a mis-sized ``bucket_sec``
+       can otherwise multiply input rows by thousands with no error. The
+       guard runs an eager aggregate at plan-build time, which is why it
+       is opt-in (streaming inputs cannot run it; batch callers like
+       session_overlap re-enable it).
+
     Start/end columns are epoch-µs longs (caller converts via
     :func:`~audio_feature_extraction_spark.operators.timeutil.ts_micros`);
     ``end >= start`` is the caller's contract (session bounds satisfy it

@@ -138,10 +138,15 @@ def _q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, alpha) the deterministic md5-bucket acceptance threshold,
     kept counts, realized mixture share and the p_s^alpha target share.
 
-    Plan shape: the corpus is scanned ONCE into a bounded per-(source,
-    bucket) histogram (≤ n_sources × 10 000 rows, map-side combine);
-    counts, thresholds and kept totals all derive from that persisted
-    frame, so adding more alphas costs zero extra corpus scans. Shares
+    Plan shape (ADVICE r06 wording fix, measured r07): the bounded
+    per-(source, bucket) histogram (≤ n_sources × 10 000 rows, map-side
+    combine) has three consumers and exchange reuse does NOT fire, so
+    the corpus scan runs three times — DELIBERATELY unpersisted: the
+    scan+agg branches run concurrently and a blocking persist
+    materialization measured 0.67 → 2.2 s at sf1.0. At a scale where
+    the corpus scan dominates, persist (or checkpoint) the histogram
+    instead — it is bounded regardless of corpus size. Adding more
+    alphas costs zero extra corpus scans either way. Shares
     use fixed-order float math (running-sum window ordered by source)
     so the doubles are bit-identical in DuckDB."""
     from pyspark.sql import Window, functions as F

@@ -52,11 +52,24 @@ def test_pipeline_single_exchange_on_parquet(spark):
     s = sequences_from_events(seq)
     r = reference_from_events(seq)
     plan = _plan(feature_pipeline(s, r))
-    # the ref-side derivation aggregates events → its own (slim) exchange;
-    # the fat token rows still cross exactly one exchange, on doc_id alone
+    # r07: when the parquet scan is few-row-group-starved,
+    # sequences_from_events inserts a SLIM doc_id repartition (pre-token
+    # columns only) and materializes the token arrays between it and the
+    # as-of union's own repartition — so there are now up to two doc_id
+    # exchanges, but the FAT token rows still cross exactly one (the
+    # as-of REPARTITION_BY_NUM). The invariant under test is the
+    # fat-rows-cross-once rule, asserted structurally: the single
+    # sequence(...) materialization sits BELOW the fat exchange and ABOVE
+    # the slim one in the plan tree (tree print order: parents first).
     doc_exchanges = re.findall(r"Exchange hashpartitioning\(doc_id#\d+, \d+\)", plan)
-    assert len(doc_exchanges) == 1, plan
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+    assert 1 <= len(doc_exchanges) <= 2, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
+    assert plan.count("sequence(1,") == 1, plan
+    if "REPARTITION_BY_COL" in plan:
+        i_fat = plan.index("REPARTITION_BY_NUM")
+        i_tok = plan.index("sequence(1,")
+        i_slim = plan.index("REPARTITION_BY_COL")
+        assert i_fat < i_tok < i_slim, plan
 
 
 def test_filter_pushdown_and_column_pruning(spark):

@@ -122,14 +122,15 @@ def _sf_fingerprint(sf_dir: str) -> str:
     mtime_ns per file) so a regenerated testdata tree under the SAME path
     invalidates the cache instead of serving stale oracle results."""
     parts = []
-    try:
-        for name in sorted(os.listdir(sf_dir)):
-            if not name.endswith(".parquet"):
-                continue
-            st = os.stat(os.path.join(sf_dir, name))
-            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    except OSError:
-        pass
+    # an unreadable/missing sf_dir must NOT silently degrade the cache key
+    # to path+SQL only (the stale-cache failure mode the fingerprint
+    # exists to prevent, ADVICE r06) — let the OSError propagate; the run
+    # would fail anyway when DuckDB reads the same files
+    for name in sorted(os.listdir(sf_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        st = os.stat(os.path.join(sf_dir, name))
+        parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
     return ";".join(parts)
 
 
