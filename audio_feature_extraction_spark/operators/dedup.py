@@ -73,18 +73,15 @@ def shingles(
     consumers (MinHash: min() over permuted hashes ignores multiplicity)."""
     from pyspark.sql import Window
 
-    from audio_feature_extraction_spark.operators.parallel import (
-        ensure_min_parallelism_by,
-    )
-
-    # hash-repartition the compact (id, text) rows by id when the scan is
-    # few-row-group-starved (r07, guide §2.4/§2.5): split+posexplode then
-    # run distributed AFTER the one exchange the lead-window needed anyway
-    # (which now carries 300-byte texts instead of the exploded words)
-    src = ensure_min_parallelism_by(
-        df.select(F.col(id_col), F.col(text_col)), id_col
-    )
-    wdf = src.select(
+    # NOTE r07: an ensure_min_parallelism_by(id) pre-exchange (split the
+    # text off the few-row-group scan before exploding) was A/B-measured
+    # here and REVERTED: interleaved min-of-5 at sf0.1 showed 1.46-1.83x
+    # LOSSES across the shingle consumers (dedup_minhash_lsh, doc_repetition,
+    # contamination) and ~neutral (0.93-1.03x) at sf1.0 — the explode is
+    # cheap relative to the window+agg that follows, and the probe/plan
+    # overhead (~0.1 s per construction) plus the extra exchange outweigh
+    # the scan-stage parallelism it buys.
+    wdf = df.select(F.col(id_col), F.col(text_col)).select(
         F.col(id_col), F.posexplode(words(text_col)).alias("_i", "_w0")
     )
     win = Window.partitionBy(id_col).orderBy("_i")
@@ -113,14 +110,9 @@ def positioned_shingles(
     position contributes exactly one row by construction)."""
     from pyspark.sql import Window
 
-    from audio_feature_extraction_spark.operators.parallel import (
-        ensure_min_parallelism_by,
-    )
-
-    src = ensure_min_parallelism_by(
-        df.select(F.col(id_col), F.col(text_col)), id_col
-    )
-    wdf = src.select(
+    # (same r07 A/B note as shingles(): the pre-exchange guard lost at
+    # sf0.1 and was neutral at sf1.0 — reverted)
+    wdf = df.select(F.col(id_col), F.col(text_col)).select(
         F.col(id_col), F.posexplode(words(text_col)).alias("_i", "_w0")
     )
     win = Window.partitionBy(id_col).orderBy("_i")
@@ -443,14 +435,11 @@ def simhash(
     """(id, simhash long): bit i of the signature is the sign of
     Σ_words (±1 by bit i of the portable word hash). Word multiplicity
     weights naturally (no distinct)."""
-    from audio_feature_extraction_spark.operators.parallel import (
-        ensure_min_parallelism_by,
+    # (r07 A/B: the pre-exchange parallelism guard lost at sf0.1, neutral
+    # at sf1.0 — reverted; see shingles())
+    w = df.select(F.col(id_col), F.col(text_col)).select(
+        F.col(id_col), F.explode(words(text_col)).alias("w")
     )
-
-    src = ensure_min_parallelism_by(
-        df.select(F.col(id_col), F.col(text_col)), id_col
-    )
-    w = src.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
     h = portable_word_hash(F.col("w"))
     w = w.withColumn("h", h)
     # whole signature as ONE parsed aggregate expression (bit sums nested

@@ -91,14 +91,9 @@ def repetition_stats(
     per-doc joins add ZERO further exchanges. The per-row alternative (array
     ``transform`` lambdas) is CodegenFallback-interpreted in Spark and
     measured ~10× slower despite doing no shuffle at all."""
-    from audio_feature_extraction_spark.operators.parallel import (
-        ensure_min_parallelism_by,
-    )
-
-    src = ensure_min_parallelism_by(
-        df.select(F.col(id_col), F.col(text_col)), id_col
-    )
-    wdf = src.select(
+    # (r07 A/B: the ensure_min_parallelism_by pre-exchange was reverted —
+    # 1.76x slower at sf0.1, neutral at sf1.0; see operators/dedup.shingles)
+    wdf = df.select(F.col(id_col), F.col(text_col)).select(
         F.col(id_col), F.posexplode(words(text_col)).alias("i", "w0")
     )
     win = Window.partitionBy(id_col).orderBy("i")

@@ -28,15 +28,13 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The estimate itself is deterministic — the oracle reproduces the same
     registers and the same double, so this is an EXACT correctness gate
     over an approximate algorithm."""
-    from audio_feature_extraction_spark.operators.parallel import (
-        ensure_min_parallelism,
-    )
-
     e = _t(spark, sf_dir, "events")
-    # round-robin off the single-row-group events scan (r07): both
-    # consumers hash/partial-agg per row (md5 registers, exact distinct)
-    # and were serialized onto the 1-2 scan tasks
-    base = ensure_min_parallelism(e.select("event_type", "user_id", "ts")).select(
+    # NOTE r07: a round-robin pre-exchange ahead of the register hashing
+    # was A/B-measured and REVERTED (1.57x slower at sf1.0, 2.73x at
+    # sf0.1): the md5/minute-floor per-row work is cheap relative to
+    # shuffling the rows, and BOTH consumers partial-agg in the scan
+    # stage (registers collapse to 2^p rows, exact-distinct to its keys).
+    base = e.select("event_type", "user_id", "ts").select(
         "event_type",
         F.concat_ws(
             ":",

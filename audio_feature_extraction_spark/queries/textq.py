@@ -261,16 +261,14 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     (get_json_object → typed), aggregate, and re-emit a canonical compact
     JSON summary string (to_json(struct(...)) — byte-identical to DuckDB's
     json_object, both engines print compact key-insertion-order JSON)."""
-    from audio_feature_extraction_spark.operators.parallel import (
-        ensure_min_parallelism,
-    )
-
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
-    # spread the ~1 µs/row JSON parse off the single-row-group events scan
-    # (r07, guide §2.5): round-robin, NOT by event_type (5 distinct values
-    # would land on 5 cores); the partial agg keeps the exchange tiny
-    src = ensure_min_parallelism(ev.select("event_type", "props"))
+    # NOTE r07: a round-robin pre-exchange ahead of the JSON parse was
+    # A/B-measured and REVERTED (1.19x slower at sf0.1, 1.30x at sf1.0):
+    # the ~1 µs/row get_json_object is cheaper than shuffling the props
+    # strings, and the map-side partial agg already collapses the scan
+    # stage's output to 5 rows.
+    src = ev.select("event_type", "props")
     agg = src.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("k").cast("long").alias("sum_k"),
@@ -570,16 +568,10 @@ def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     count desc then word asc on both engines."""
     from pyspark.sql import Window
 
-    from audio_feature_extraction_spark.operators.parallel import (
-        ensure_min_parallelism_by,
-    )
-
     docs = _t(spark, sf_dir, "documents")
-    # split+posexplode distributed after the doc_id exchange the lead
-    # window needed anyway (r07; same shape as dedup.shingles)
-    w = ensure_min_parallelism_by(
-        docs.select("doc_id", "text"), "doc_id"
-    ).select(
+    # (r07 A/B: the pre-exchange parallelism guard was reverted — 1.19x
+    # slower at BOTH sf0.1 and sf1.0; see operators/dedup.shingles)
+    w = docs.select("doc_id", "text").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")
@@ -679,16 +671,10 @@ def _q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram_surprisal convention)."""
     from pyspark.sql import Window
 
-    from audio_feature_extraction_spark.operators.parallel import (
-        ensure_min_parallelism_by,
-    )
-
     docs = _t(spark, sf_dir, "documents")
-    # split+posexplode distributed after the doc_id exchange the lead
-    # window needed anyway (r07; same shape as dedup.shingles)
-    w = ensure_min_parallelism_by(
-        docs.select("doc_id", "text"), "doc_id"
-    ).select(
+    # (r07 A/B: the pre-exchange parallelism guard was reverted — mixed
+    # 1.2x/0.93x across scales, inside noise; see operators/dedup.shingles)
+    w = docs.select("doc_id", "text").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")
